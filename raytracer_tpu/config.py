@@ -1,0 +1,86 @@
+"""Render configuration.
+
+The reference keeps its knobs as hard-coded constants scattered through the
+source (WIDTH/HEIGHT in src/server.rs:29-30, MAX_BOUNCES=5 and
+SURVIVAL_PROBABILITY=0.9 in src/scene.rs:109-110, the camera FOV constant
+0.5135 in src/server.rs:330-331, epsilons inline in src/geometry.rs) and an
+unread vestigial config.toml.  Here they are a real config layer.
+
+All geometry epsilons were tuned for the reference's f64 math; TPUs compute
+in f32, so the defaults below are re-tuned (scene units are ~100, f32 ulp at
+coordinate 300 is ~3e-5).  Each field documents the reference value.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+@dataclasses.dataclass(frozen=True)
+class Epsilons:
+    """Geometric epsilons (reference values noted; re-tuned for f32).
+
+    Reference (f64): sphere eps 1e-4 (src/geometry.rs:516), plane parallel
+    cutoff 1e-4 (:553), triangle parallel cutoff 1e-4 and t>1e-4 (:640,:659),
+    hit offset 1e-5 (:561,:663), visibility margin 1e-3 (src/scene.rs:259).
+    """
+
+    sphere_tmin: float = 2e-3
+    plane_parallel: float = 1e-4
+    tri_parallel: float = 1e-4
+    tri_tmin: float = 1e-3
+    hit_offset: float = 1e-3
+    visibility_margin: float = 1e-2
+    specular_match: float = 1e-3  # BRDF::eval specular dir match, src/scene.rs:35
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Full render configuration.
+
+    Defaults reproduce the reference's live code path: NEE + Russian
+    roulette, MIS off (the reference's MIS is dead code behind ``if false``,
+    src/scene.rs:188), 600x450 output (src/server.rs:29-30).
+    """
+
+    width: int = 600
+    height: int = 450
+
+    # Integrator (reference: src/scene.rs:109-110).
+    rr_start_depth: int = 5  # MAX_BOUNCES: depth <= 5 always continues
+    rr_survival: float = 0.9  # SURVIVAL_PROBABILITY beyond that
+    # The reference recurses unboundedly (geometric tail, p=0.9).  A wavefront
+    # integrator needs a static cap; at depth 5+k the surviving throughput is
+    # ~(albedo/0.9)^k so 24 keeps truncation bias far below MC noise at any
+    # spp used by the benchmark configs.
+    max_depth: int = 24
+    use_mis: bool = False
+
+    # Camera (reference: src/server.rs:330-331).
+    fov_scale: float = 0.5135
+
+    # Fix the reference's Phong sample_incoming bug where the sampled
+    # direction is returned in the local tangent frame without being rotated
+    # into world space (src/scene.rs:74-95; compare the diffuse arm :64-66
+    # which does rotate).  True = physically-correct world-frame directions.
+    fix_phong_frame: bool = True
+
+    eps: Epsilons = dataclasses.field(default_factory=Epsilons)
+
+    # Wavefront batching: number of camera samples traced per device step.
+    # Tuned so one step is ~100ms on a v5e for responsive cancellation.
+    rays_per_pass: int = 1 << 20
+
+    # RNG base seed.  The reference uses unseeded thread-local RNG
+    # (non-reproducible); we use counter-based threefry keyed on
+    # (seed, tile, sample, bounce, purpose) so renders are deterministic.
+    seed: int = 0
+
+
+DEFAULT_PORT = 8080  # reference: src/main.rs:16 (overridable via PORT env)
+SCENE_NAMES = ("cornell_box", "cubes", "flying_unicorn")  # src/main.rs:17
+
+
+def port_from_env() -> int:
+    return int(os.environ.get("PORT", DEFAULT_PORT))

@@ -1,0 +1,223 @@
+"""Batched ray-primitive intersection.
+
+The reference intersects one ray against one object at a time through an
+enum dispatch (src/geometry.rs:512-571) inside a per-object linear scan
+(src/scene.rs:272-289).  Here a whole wavefront of N rays is tested against
+all primitives at once, and — the TPU-first part — every ray x primitive
+term that is bilinear in (ray, primitive) is phrased as an ``[N,3] @ [3,K]``
+matmul so the MXU does the heavy lifting instead of the VPU chewing on an
+``[N,K,3]`` broadcast:
+
+- sphere:    b = op.d and op.op decompose into  rd@pos.T, ro@pos.T
+- plane:     d.n and (pos-ro).n are rd@n.T, ro@n.T
+- triangle:  the Moller-Trumbore test (reference: src/geometry.rs:637-670)
+  is rewritten in barycentric-gradient form: with per-triangle precomputed
+  q1=(e2 x n)/|n|^2, q2=(n x e1)/|n|^2, all of t,u,v come from six
+  [N,3]@[3,T] matmuls.
+
+Semantics preserved (two-sided normals, epsilon cutoffs, near-then-far
+sphere root) with f32-retuned epsilons from ``config.Epsilons``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import Array
+
+from raytracer_tpu.config import Epsilons
+from raytracer_tpu.models import vecmath as vm
+from raytracer_tpu.models.scene import SceneArrays
+
+INF = jnp.float32(3.0e38)
+
+
+@struct.dataclass
+class Hit:
+    """Nearest-hit record for a wavefront (reference Hit: src/geometry.rs:418-424)."""
+
+    t: Array  # [N]
+    pos: Array  # [N,3] (offset along the normal for planes/triangles)
+    n: Array  # [N,3] two-sided shading normal (faces the incoming ray)
+    obj: Array  # [N] i32 object index
+    valid: Array  # [N] bool
+
+
+class TriPre(NamedTuple):
+    """Per-triangle precomputed intersection data (loop-invariant)."""
+
+    n_unit: Array  # [T,3] unit geometric normal
+    n_d: Array  # [T] plane offset a.n_unit
+    q1: Array  # [T,3] barycentric gradient for u
+    q2: Array  # [T,3] barycentric gradient for v
+    q1_a: Array  # [T] a.q1
+    q2_a: Array  # [T] a.q2
+
+
+def tri_precompute(a: Array, b: Array, c: Array) -> TriPre:
+    e1 = b - a
+    e2 = c - a
+    ng = vm.cross(e1, e2)  # [T,3] unnormalized geometric normal
+    nn = jnp.maximum(vm.norm2(ng), jnp.float32(1e-30))
+    n_unit = ng / jnp.sqrt(nn)[..., None]
+    q1 = vm.cross(e2, ng) / nn[..., None]
+    q2 = vm.cross(ng, e1) / nn[..., None]
+    return TriPre(
+        n_unit=n_unit,
+        n_d=vm.dot(a, n_unit),
+        q1=q1,
+        q2=q2,
+        q1_a=vm.dot(a, q1),
+        q2_a=vm.dot(a, q2),
+    )
+
+
+def _mm(a: Array, b: Array) -> Array:
+    """[N,3] @ [3,K] in *true* f32.
+
+    Precision.HIGHEST is load-bearing: the TPU default lowers f32 matmuls
+    to single-pass bf16 on the MXU (~8 mantissa bits), and the sphere
+    discriminant b^2 - op.op + r^2 cancels ~5 decimal digits at this
+    scene's scale (|op|^2 ~ 4e4 vs r^2 = 16) — bf16 error ~256 there turns
+    the r=4 light sphere into an 80-pixel blob of false hits.
+    """
+    return jnp.dot(
+        a, b, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def intersect_spheres(
+    ro: Array, rd: Array, pos: Array, r: Array, valid: Array, eps: Epsilons
+) -> Array:
+    """t of nearest valid root per (ray, sphere) -> [N,S]; INF on miss.
+
+    smallpt quadratic with near-root-then-far-root selection
+    (reference: src/geometry.rs:514-550).
+    """
+    b = _mm(rd, pos.T) - vm.dot(ro, rd)[:, None]  # [N,S] op.d
+    opop = (
+        vm.norm2(pos)[None, :] - 2.0 * _mm(ro, pos.T) + vm.norm2(ro)[:, None]
+    )  # [N,S] op.op
+    det = b * b - opop + (r * r)[None, :]
+    sq = jnp.sqrt(jnp.maximum(det, 0.0))
+    t_near = b - sq
+    t_far = b + sq
+    t = jnp.where(t_near > eps.sphere_tmin, t_near, jnp.where(t_far > eps.sphere_tmin, t_far, INF))
+    return jnp.where((det >= 0.0) & valid[None, :], t, INF)
+
+
+def intersect_planes(
+    ro: Array, rd: Array, pos: Array, n: Array, valid: Array, eps: Epsilons
+) -> Array:
+    """t per (ray, plane) -> [N,P]; INF on miss.
+
+    Reference: parallel cutoff |d.n|<1e-4, accepts t>=0 (src/geometry.rs:551-568).
+    """
+    d_dot_n = _mm(rd, n.T)  # [N,P]
+    po_dot_n = vm.dot(pos, n)[None, :] - _mm(ro, n.T)  # [N,P] (pos-ro).n
+    t = po_dot_n / d_dot_n
+    ok = (jnp.abs(d_dot_n) >= eps.plane_parallel) & (t >= 0.0) & valid[None, :]
+    return jnp.where(ok, t, INF)
+
+
+def intersect_triangles(
+    ro: Array, rd: Array, pre: TriPre, valid: Array, eps: Epsilons
+) -> Array:
+    """t per (ray, triangle) -> [N,T]; INF on miss.  Six MXU matmuls total."""
+    denom = _mm(rd, pre.n_unit.T)  # [N,T] d.n
+    t = (pre.n_d[None, :] - _mm(ro, pre.n_unit.T)) / denom
+    # p.q = ro.q + t * rd.q  without materializing p per pair
+    u = _mm(ro, pre.q1.T) + t * _mm(rd, pre.q1.T) - pre.q1_a[None, :]
+    v = _mm(ro, pre.q2.T) + t * _mm(rd, pre.q2.T) - pre.q2_a[None, :]
+    ok = (
+        (jnp.abs(denom) >= eps.tri_parallel)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > eps.tri_tmin)
+        & valid[None, :]
+    )
+    return jnp.where(ok, t, INF)
+
+
+class ScenePre(NamedTuple):
+    """Loop-invariant precomputed intersection data for a scene."""
+
+    tri: TriPre
+
+
+def scene_precompute(scene: SceneArrays) -> ScenePre:
+    return ScenePre(tri=tri_precompute(scene.tri_a, scene.tri_b, scene.tri_c))
+
+
+def trace(scene: SceneArrays, pre: ScenePre, ro: Array, rd: Array, eps: Epsilons) -> Hit:
+    """Nearest hit of each ray against the whole scene.
+
+    Equivalent of Scene::trace_ray (src/scene.rs:272-289) for a wavefront:
+    per-group argmin-t, then a cross-group argmin, then one gather of the
+    winning primitive's attributes.
+    """
+    n_rays = ro.shape[0]
+
+    ts = intersect_spheres(ro, rd, scene.sph_pos, scene.sph_r, scene.sph_valid, eps)
+    tp = intersect_planes(ro, rd, scene.pln_pos, scene.pln_n, scene.pln_valid, eps)
+
+    if scene.use_bvh:
+        from raytracer_tpu.ops.bvh import bvh_intersect
+
+        # Brute-force prefix (cube/prism tris) + BVH over the mesh tail.
+        k = scene.bvh_tri_start
+        if k > 0:
+            pre_prefix = TriPre(*(x[:k] for x in pre.tri))
+            tt = intersect_triangles(ro, rd, pre_prefix, scene.tri_valid[:k], eps)
+            tt_best = jnp.min(tt, axis=1)
+            tt_arg = jnp.argmin(tt, axis=1).astype(jnp.int32)
+        else:
+            tt_best = jnp.full((n_rays,), INF)
+            tt_arg = jnp.zeros((n_rays,), jnp.int32)
+        bt, bidx = bvh_intersect(scene, ro, rd, eps)
+        use_b = bt < tt_best
+        tt_best = jnp.where(use_b, bt, tt_best)
+        tt_arg = jnp.where(use_b, bidx, tt_arg)
+    else:
+        tt = intersect_triangles(ro, rd, pre.tri, scene.tri_valid, eps)
+        tt_best = jnp.min(tt, axis=1)
+        tt_arg = jnp.argmin(tt, axis=1).astype(jnp.int32)
+
+    ts_best = jnp.min(ts, axis=1)
+    ts_arg = jnp.argmin(ts, axis=1).astype(jnp.int32)
+    tp_best = jnp.min(tp, axis=1)
+    tp_arg = jnp.argmin(tp, axis=1).astype(jnp.int32)
+
+    group_t = jnp.stack([ts_best, tp_best, tt_best], axis=1)  # [N,3]
+    group = jnp.argmin(group_t, axis=1)  # 0=sphere 1=plane 2=triangle
+    t_best = jnp.min(group_t, axis=1)
+    valid = t_best < INF
+
+    # Per-group hit attributes at the winning primitive.
+    sc = scene.sph_pos[ts_arg]  # [N,3]
+    pos_raw = ro + t_best[:, None] * rd
+    n_sph = vm.normalize(pos_raw - sc, eps=1e-20)
+    n_pln = scene.pln_n[tp_arg]
+    n_tri = pre.tri.n_unit[tt_arg]
+
+    n_geo = jnp.where(
+        (group == 0)[:, None], n_sph, jnp.where((group == 1)[:, None], n_pln, n_tri)
+    )
+    n_ff = vm.face_forward(n_geo, -rd)
+
+    # Hit-position offset along the normal: the reference offsets plane and
+    # triangle hits by 1e-5*n (src/geometry.rs:561,:663) but not spheres.
+    offset = jnp.where(group == 0, 0.0, eps.hit_offset)[:, None] * n_ff
+    pos = pos_raw + offset
+
+    obj = jnp.where(
+        group == 0,
+        scene.sph_obj[ts_arg],
+        jnp.where(group == 1, scene.pln_obj[tp_arg], scene.tri_obj[tt_arg]),
+    )
+    return Hit(t=t_best, pos=pos, n=n_ff, obj=obj, valid=valid)

@@ -1,0 +1,190 @@
+"""Independent scalar f64 CPU oracle for statistical render tests.
+
+A deliberately simple, recursive NumPy implementation of the reference's
+*live* integrator semantics (NEE + Russian roulette, no MIS), written from
+the behavioral spec in SURVEY.md — NOT a translation of either the Rust or
+the JAX code.  Slow (pure Python per-sample), used only on a few pixels at
+modest spp to cross-check the wavefront integrator's estimates.
+
+Uses the reference's f64 epsilons (sphere eps 1e-4, tri/plane cutoffs 1e-4,
+hit offset 1e-5, visibility margin 1e-3).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+MAX_BOUNCES = 5
+SURVIVAL = 0.9
+
+
+def _norm(v):
+    return v / math.sqrt(float(v @ v))
+
+
+class Oracle:
+    def __init__(self, doc: dict, rng: np.random.Generator, max_depth: int = 24):
+        """doc: parsed TOML scene dict (spheres and planes only)."""
+        self.rng = rng
+        self.max_depth = max_depth
+        self.cam_pos = np.asarray(doc["camera"]["pos"], float)
+        self.cam_dir = np.asarray(doc["camera"]["dir"], float)
+        self.objects = []
+        for spec in doc["objects"]:
+            g = spec["geometry"]
+            assert g["type"] in ("sphere", "plane"), "oracle supports spheres/planes"
+            self.objects.append(
+                dict(
+                    emitted=np.asarray(spec.get("emitted", [0, 0, 0]), float),
+                    brdf=spec["brdf"],
+                    geom=g,
+                )
+            )
+        self.light = next(
+            i for i, o in enumerate(self.objects) if np.abs(o["emitted"]).max() > 1e-5
+        )
+
+    # --- geometry ---
+    def intersect(self, ro, rd):
+        """Nearest hit -> (t, pos, n, obj) or None."""
+        best = None
+        for i, o in enumerate(self.objects):
+            g = o["geom"]
+            if g["type"] == "sphere":
+                c = np.asarray(g["pos"], float)
+                r = float(g["r"])
+                op = c - ro
+                b = op @ rd
+                det = b * b - op @ op + r * r
+                if det < 0:
+                    continue
+                sq = math.sqrt(det)
+                t = b - sq
+                if t <= 1e-4:
+                    t = b + sq
+                    if t <= 1e-4:
+                        continue
+                pos = ro + t * rd
+                n = _norm(pos - c)
+                if n @ rd > 0:
+                    n = -n
+            else:
+                p = np.asarray(g["pos"], float)
+                n0 = np.asarray(g["n"], float)
+                dn = rd @ n0
+                if abs(dn) < 1e-4:
+                    continue
+                t = ((p - ro) @ n0) / dn
+                if t < 0:
+                    continue
+                n = n0 if (n0 @ rd) <= 0 else -n0
+                pos = ro + t * rd + n * 1e-5
+            if best is None or t < best[0]:
+                if g["type"] == "sphere":
+                    pos = ro + t * rd
+                best = (t, pos, n, i)
+        return best
+
+    def visible(self, x, y):
+        d = y - x
+        dist = math.sqrt(float(d @ d))
+        hit = self.intersect(x, d / dist)
+        return hit is None or hit[0] + 1e-3 >= dist
+
+    # --- materials (diffuse/specular only: enough for shipped scenes) ---
+    def f_eval(self, brdf, n, o, i):
+        if brdf["type"] == "diffuse":
+            return np.asarray(brdf["kd"], float) / math.pi
+        raise AssertionError
+
+    def sample_light(self):
+        g = self.objects[self.light]["geom"]
+        c = np.asarray(g["pos"], float)
+        r = float(g["r"])
+        u1, u2 = self.rng.random(), self.rng.random()
+        z = 2 * u1 - 1
+        rr = math.sqrt(max(1 - z * z, 0.0))
+        n = np.asarray([rr * math.cos(2 * math.pi * u2), rr * math.sin(2 * math.pi * u2), z])
+        return c + r * n, n, 1.0 / (4 * math.pi * r * r)
+
+    def reflected(self, x, n, o, obj, depth):
+        if depth > self.max_depth:
+            return np.zeros(3)
+        ob = self.objects[obj]
+        p = 1.0 if depth <= MAX_BOUNCES else SURVIVAL
+        brdf = ob["brdf"]
+        if brdf["type"] == "specular":
+            rad = np.zeros(3)
+            if self.rng.random() < p:
+                i = 2 * (o @ n) * n - o  # mirror
+                hit = self.intersect(x, i)
+                if hit is not None:
+                    _, hx, hn, hobj = hit
+                    ks = np.asarray(brdf["ks"], float)
+                    nxt = self.objects[hobj]["emitted"] / p + self.reflected(
+                        hx, hn, -i, hobj, depth + 1
+                    ) * ks / p
+                    rad = nxt
+            return rad
+        # non-specular: NEE + cont
+        y, ny, pdf = self.sample_light()
+        i = y - x
+        r2 = float(i @ i)
+        i = i / math.sqrt(r2)
+        vis = 1.0 if self.visible(x, y) else 0.0
+        e = self.objects[self.light]["emitted"]
+        f = self.f_eval(brdf, n, o, i)
+        rad = e * f * vis * (n @ i) * (ny @ -i) / (r2 * pdf)
+        if self.rng.random() < p:
+            u1, u2 = self.rng.random(), self.rng.random()
+            z = math.sqrt(u1)
+            rr = math.sqrt(max(1 - z * z, 0.0))
+            phi = 2 * math.pi * u2
+            local = np.asarray([rr * math.cos(phi), rr * math.sin(phi), z])
+            w = n
+            a = np.asarray([0.0, 1.0, 0.0]) if abs(w[0]) > 0.1 else np.asarray([1.0, 0.0, 0.0])
+            u = _norm(np.cross(a, w))
+            v = np.cross(w, u)
+            i = _norm(u * local[0] + v * local[1] + w * local[2])
+            pdf_b = (n @ i) / math.pi
+            hit = self.intersect(x, i)
+            if hit is not None and pdf_b > 1e-12:
+                _, hx, hn, hobj = hit
+                f = self.f_eval(brdf, n, o, i)
+                rad = rad + self.reflected(hx, hn, -i, hobj, depth + 1) * f * (n @ i) / (
+                    pdf_b * p
+                )
+        return rad
+
+    def received(self, ro, rd):
+        hit = self.intersect(ro, rd)
+        if hit is None:
+            return np.zeros(3)
+        _, x, n, obj = hit
+        return self.objects[obj]["emitted"] + self.reflected(x, n, -rd, obj, 1)
+
+    def pixel_radiance_mean(self, px, py, width, height, spp):
+        """Mean unclamped per-subpixel radiance [4,3] at (px, py render-space)."""
+        w, h = float(width), float(height)
+        cx = np.asarray([0.5135 * w / h, 0.0, 0.0])
+        cy = _norm(np.cross(cx, self.cam_dir)) * 0.5135
+        num = spp // 4
+        out = np.zeros((4, 3))
+        for s in range(4):
+            sx, sy = s % 2, s // 2
+            acc = np.zeros(3)
+            for _ in range(num):
+                r1 = 2 * self.rng.random()
+                dx = math.sqrt(r1) - 1 if r1 < 1 else 1 - math.sqrt(2 - r1)
+                r2 = 2 * self.rng.random()
+                dy = math.sqrt(r2) - 1 if r2 < 1 else 1 - math.sqrt(2 - r2)
+                d = (
+                    cx * (((sx + 0.5 + dx) / 2 + px) / w - 0.5)
+                    + cy * (((sy + 0.5 + dy) / 2 + py) / h - 0.5)
+                    + self.cam_dir
+                )
+                acc += self.received(self.cam_pos, _norm(d))
+            out[s] = acc / max(num, 1)
+        return out
