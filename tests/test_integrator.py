@@ -1,0 +1,148 @@
+"""Integrator correctness: statistical agreement with the scalar f64 oracle.
+
+The reference is untested Monte-Carlo code; bit-equality is impossible, so
+per SURVEY §4 the strategy is variance-aware comparison: the wavefront
+integrator's per-pixel mean radiance must agree with an independent scalar
+oracle within a few standard errors at equal sample counts.
+"""
+
+import os
+import tomllib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracer_tpu.config import RenderConfig
+from raytracer_tpu.models.camera import camera_rays
+from raytracer_tpu.models.loader import load_scene
+from raytracer_tpu.ops.intersect import scene_precompute
+from raytracer_tpu.render.integrator import radiance, sample_light
+from raytracer_tpu.render.renderer import Renderer, finalize, render_pass
+
+from tests.oracle import Oracle
+
+SCENES = os.path.join(os.path.dirname(__file__), "..", "scenes")
+
+
+@pytest.fixture(scope="module")
+def cornell():
+    s = load_scene(os.path.join(SCENES, "cornell_box.toml"))
+    with open(os.path.join(SCENES, "cornell_box.toml"), "rb") as fh:
+        doc = tomllib.load(fh)
+    return s, doc
+
+
+def _wavefront_pixel_radiance(s, cfg, px, py, n_samples, seed=0):
+    """Mean unclamped radiance at a pixel (render-space py), [3]."""
+    n = n_samples
+    pxa = jnp.full((n,), px, jnp.float32)
+    pya = jnp.full((n,), py, jnp.float32)
+    z = jnp.zeros(n)
+    key = jax.random.key(seed)
+    us = jax.random.uniform(jax.random.fold_in(key, 0), (2, n))
+    pre = scene_precompute(s)
+    ro, rd = camera_rays(s, cfg.width, cfg.height, cfg.fov_scale, pxa, pya, z, z, us[0], us[1])
+    rad = radiance(s, pre, cfg, ro, rd, jax.random.fold_in(key, 1))
+    return np.asarray(rad)
+
+
+@pytest.mark.parametrize("px,py", [(300, 150), (120, 260), (470, 100)])
+def test_cornell_matches_oracle(cornell, px, py):
+    """Wall/floor pixels: wavefront mean within ~4 sigma of oracle mean."""
+    s, doc = cornell
+    cfg = RenderConfig()
+    n = 1536
+    ours = _wavefront_pixel_radiance(s, cfg, px, py, n)
+    ours_mean = ours.mean(axis=0)
+    ours_sem = ours.std(axis=0) / np.sqrt(n)
+
+    oracle = Oracle(doc, np.random.default_rng(123))
+    n_oracle = 384
+    acc = np.zeros((n_oracle, 3))
+    w, h = float(cfg.width), float(cfg.height)
+    cx = np.asarray([0.5135 * w / h, 0.0, 0.0])
+    cam_dir = np.asarray(doc["camera"]["dir"], float)
+    cy = np.cross(cx, cam_dir)
+    cy = cy / np.linalg.norm(cy) * 0.5135
+    rng = oracle.rng
+    for k in range(n_oracle):
+        fx = (0.5 + px + rng.uniform(-0.5, 0.5)) / w - 0.5
+        fy = (0.5 + py + rng.uniform(-0.5, 0.5)) / h - 0.5
+        d = cx * fx + cy * fy + cam_dir
+        acc[k] = oracle.received(np.asarray(doc["camera"]["pos"], float), d / np.linalg.norm(d))
+    o_mean = acc.mean(axis=0)
+    o_sem = acc.std(axis=0) / np.sqrt(n_oracle)
+
+    sem = np.sqrt(ours_sem**2 + o_sem**2)
+    diff = np.abs(ours_mean - o_mean)
+    assert (diff < 4.5 * sem + 0.02).all(), (
+        f"pixel ({px},{py}): ours {ours_mean} vs oracle {o_mean} sem {sem}"
+    )
+
+
+def test_mis_unbiased_vs_non_mis(cornell):
+    """MIS and non-MIS are both unbiased: their means must agree."""
+    s, _ = cornell
+    n = 3000
+    a = _wavefront_pixel_radiance(s, RenderConfig(use_mis=False), 300, 150, n, seed=5)
+    b = _wavefront_pixel_radiance(s, RenderConfig(use_mis=True), 300, 150, n, seed=7)
+    sem = np.sqrt(a.var(axis=0) / n + b.var(axis=0) / n)
+    assert (np.abs(a.mean(axis=0) - b.mean(axis=0)) < 4.5 * sem + 0.02).all()
+
+
+def test_light_pixel_sees_emission(cornell):
+    """A ray at the light sphere returns ~emitted (50) at depth 0."""
+    s, _ = cornell
+    # light at (50,70,100) projects near pixel (300, ~340) in render space
+    rad = _wavefront_pixel_radiance(s, RenderConfig(), 300, 340, 64)
+    assert rad.mean() > 40.0
+
+
+def test_deterministic_given_seed(cornell):
+    s, _ = cornell
+    a = _wavefront_pixel_radiance(s, RenderConfig(), 200, 200, 128, seed=3)
+    b = _wavefront_pixel_radiance(s, RenderConfig(), 200, 200, 128, seed=3)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_sample_light_sphere_distribution(cornell):
+    s, _ = cornell
+    n = 8192
+    us = jax.random.uniform(jax.random.key(0), (3, n))
+    y, ny, pdf = sample_light(s, us[0], us[1], us[2])
+    y = np.asarray(y)
+    c = np.asarray(s.light_sph_pos)
+    r = np.linalg.norm(y - c, axis=1)
+    np.testing.assert_allclose(r, 4.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(pdf), 1.0 / (4 * np.pi * 16), rtol=1e-5)
+    # normals point outward
+    np.testing.assert_allclose(np.asarray(ny), (y - c) / 4.0, atol=1e-5)
+    # roughly uniform: mean position is the center
+    np.testing.assert_allclose(y.mean(axis=0), c, atol=0.15)
+
+
+def test_render_pass_and_finalize_pipeline(cornell):
+    """finalize reproduces the clamp/average/gamma pipeline."""
+    s, _ = cornell
+    cfg = RenderConfig()
+    px = jnp.asarray([300], jnp.int32)
+    py = jnp.asarray([340], jnp.int32)  # on the light: radiance >> 1, clamps to 1
+    sums = np.asarray(render_pass(s, scene_precompute(s), cfg, px, py, 8, jax.random.key(0)))
+    out = finalize(sums, 8)
+    # clamp(1)^(1/2.2)*255+0.5 -> 255
+    assert (out[0] == 255).all()
+
+
+def test_render_image_orientation(cornell):
+    """Row 0 of the output is the TOP of the image (ceiling, not floor)."""
+    s, _ = cornell
+    cfg = RenderConfig(width=80, height=60, rays_per_pass=1 << 15)
+    r = Renderer(s, cfg, tile_rows=16)
+    img = r.render_image(8)
+    assert img is not None
+    # the light glow is in the upper half; floor in the lower half.
+    top_mean = img[:20].astype(float).mean()
+    bottom_mean = img[-20:].astype(float).mean()
+    assert top_mean > bottom_mean
