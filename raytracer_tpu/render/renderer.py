@@ -1,25 +1,33 @@
-"""Renderer: jit-compiled tile render passes + progressive accumulation.
+"""Renderer: jit-compiled render passes + progressive accumulation.
 
 The reference's render scheduler is a CPU thread pool over static row bands
 (src/server.rs:157-199) with a serial per-pixel sample loop
 (src/server.rs:320-364).  The TPU design instead batches
-(pixel x subpixel x sample) lanes into wavefront passes:
+(pixel x subpixel x sample) lanes into wavefront passes, shaped by two
+device realities:
 
-- the image is processed in fixed-size row *tiles* (static shapes -> one
-  compilation per (tile, samples-per-pass) pair);
-- each pass traces ``tile_pixels * 4 subpixels * k samples`` lanes and
-  returns per-subpixel radiance sums;
-- sums accumulate across passes — the accumulation buffer IS a resumable
-  checkpoint, enabling progressive spp refinement (the reference discards
-  cancelled work entirely);
-- finalization reproduces the reference's per-subpixel clamp-then-average
-  and gamma pipeline exactly (src/server.rs:360-368).
+- **Dispatch is expensive** (the device may sit behind a network tunnel;
+  even locally each dispatch syncs host<->device).  So one dispatch renders
+  a whole row band at its full sample count: a ``fori_loop`` over sample
+  chunks accumulates per-subpixel sums entirely on device, and only the
+  final band's sums (or the finished u8 pixels) cross back to the host.
+
+- **Compiles are ~40s** and cached per shape.  So sample-chunk sizes are
+  powers of two and band heights are divisors of the image height, giving
+  a tiny closed set of compiled shapes per (scene, resolution).
+
+The per-subpixel accumulation buffer IS a resumable checkpoint: progressive
+refinement re-finalizes the running sums after every chunk (the reference
+discards cancelled work entirely).
+
+Finalization reproduces the reference's per-subpixel clamp-then-average and
+gamma pipeline exactly (src/server.rs:360-368).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Callable, Iterator
+from typing import Iterator
 
 import jax
 import jax.numpy as jnp
@@ -33,28 +41,27 @@ from raytracer_tpu.ops.intersect import ScenePre, scene_precompute
 from raytracer_tpu.render.integrator import radiance
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "k"))
-def render_pass(
+def _pass_sums(
     scene: SceneArrays,
     pre: ScenePre,
     cfg: RenderConfig,
-    px: Array,  # [Np] i32 pixel column
-    py: Array,  # [Np] i32 pixel row in RENDER space (0 = bottom)
+    px: Array,  # [Np] f32 pixel column
+    py: Array,  # [Np] f32 pixel row in RENDER space (0 = bottom)
     k: int,  # samples per subpixel in this pass
     key: Array,
 ) -> Array:
-    """One wavefront pass -> radiance sums [Np, 4, 3] (sum over k samples)."""
+    """Trace Np*4*k lanes -> per-subpixel radiance sums [Np, 4, 3]."""
     n_pix = px.shape[0]
     n = n_pix * 4 * k
 
     # Lane layout [Np, 4, k]: subpixel s -> (sx, sy) = (s % 2, s // 2); the
     # reference iterates sy outer, sx inner (src/server.rs:335-336) — order
     # is irrelevant to the estimate.
-    lane_px = jnp.broadcast_to(px[:, None, None], (n_pix, 4, k)).reshape(n).astype(jnp.float32)
-    lane_py = jnp.broadcast_to(py[:, None, None], (n_pix, 4, k)).reshape(n).astype(jnp.float32)
-    s = jnp.arange(4, dtype=jnp.int32)
-    lane_sx = jnp.broadcast_to((s % 2)[None, :, None], (n_pix, 4, k)).reshape(n).astype(jnp.float32)
-    lane_sy = jnp.broadcast_to((s // 2)[None, :, None], (n_pix, 4, k)).reshape(n).astype(jnp.float32)
+    lane_px = jnp.broadcast_to(px[:, None, None], (n_pix, 4, k)).reshape(n)
+    lane_py = jnp.broadcast_to(py[:, None, None], (n_pix, 4, k)).reshape(n)
+    s = jnp.arange(4, dtype=jnp.float32)
+    lane_sx = jnp.broadcast_to((s % 2)[None, :, None], (n_pix, 4, k)).reshape(n)
+    lane_sy = jnp.broadcast_to((s // 2)[None, :, None], (n_pix, 4, k)).reshape(n)
 
     jitter = jax.random.uniform(jax.random.fold_in(key, 0), (2, n))
     ro, rd = camera_rays(
@@ -63,6 +70,47 @@ def render_pass(
     )
     rad = radiance(scene, pre, cfg, ro, rd, jax.random.fold_in(key, 1))
     return rad.reshape(n_pix, 4, k, 3).sum(axis=2)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "rows", "k", "n_passes"))
+def render_band(
+    scene: SceneArrays,
+    pre: ScenePre,
+    cfg: RenderConfig,
+    y0: Array,  # scalar i32: first RENDER-space row of the band
+    rows: int,
+    k: int,
+    n_passes: int,
+    key: Array,
+) -> Array:
+    """Render a row band at k*n_passes samples/subpixel in ONE dispatch.
+
+    Returns per-subpixel radiance sums [rows, W, 4, 3] (device array).
+    """
+    w = cfg.width
+    n_pix = rows * w
+    ys = y0 + jnp.arange(rows, dtype=jnp.int32)
+    py = jnp.broadcast_to(ys[:, None], (rows, w)).reshape(n_pix).astype(jnp.float32)
+    px = jnp.broadcast_to(
+        jnp.arange(w, dtype=jnp.float32)[None, :], (rows, w)
+    ).reshape(n_pix)
+
+    def body(p, sums):
+        return sums + _pass_sums(scene, pre, cfg, px, py, k, jax.random.fold_in(key, p))
+
+    sums = jax.lax.fori_loop(
+        0, n_passes, body, jnp.zeros((n_pix, 4, 3), jnp.float32)
+    )
+    return sums.reshape(rows, w, 4, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples",))
+def finalize_device(sums: Array, num_samples: int) -> Array:
+    """Device-side finalize: sums [...,4,3] -> u8 RGB [...,3] (see finalize)."""
+    mean = sums / jnp.float32(max(num_samples, 1))
+    pixel = jnp.clip(mean, 0.0, 1.0).sum(axis=-2) * 0.25
+    v = jnp.clip(pixel, 0.0, 1.0) ** (1.0 / 2.2) * 255.0 + 0.5
+    return jnp.clip(jnp.floor(v), 0, 255).astype(jnp.uint8)
 
 
 def finalize(sums: np.ndarray, num_samples: int) -> np.ndarray:
@@ -78,99 +126,110 @@ def finalize(sums: np.ndarray, num_samples: int) -> np.ndarray:
     return np.clip(np.floor(v), 0, 255).astype(np.uint8)
 
 
+def _pow2_floor(n: int) -> int:
+    return 1 << (max(n, 1).bit_length() - 1)
+
+
+def _divisor_band(height: int, target: int) -> int:
+    """Largest divisor of height that is <= target (>=1): keeps band shapes
+    in a closed set so jit compiles once per (band, chunk) pair."""
+    target = max(1, min(target, height))
+    for r in range(target, 0, -1):
+        if height % r == 0:
+            return r
+    return 1
+
+
 class Renderer:
-    """Per-scene render pipeline with tile scheduling.
+    """Per-scene render pipeline with row-band scheduling."""
 
-    ``tile_rows`` rows render per device dispatch; sample counts above
-    ``k_max`` split into multiple passes (responsive cancellation, like the
-    reference's per-60-pixel-window cancel checks, src/server.rs:170-172).
-    """
+    K_MAX = 16  # max samples/subpixel per fori chunk
 
-    def __init__(
-        self,
-        scene: SceneArrays,
-        cfg: RenderConfig | None = None,
-        tile_rows: int = 16,
-    ):
+    def __init__(self, scene: SceneArrays, cfg: RenderConfig | None = None):
         self.scene = scene
         self.cfg = cfg or RenderConfig()
-        self.tile_rows = tile_rows
         self.pre = scene_precompute(scene)
         self._base_key = jax.random.key(self.cfg.seed)
 
-    def _tile_key(self, tile_id: int, pass_id: int) -> Array:
-        return jax.random.fold_in(jax.random.fold_in(self._base_key, tile_id), pass_id)
+    # --- scheduling -------------------------------------------------------
 
-    def _samples_per_pass(self, n_pix: int, num_samples: int) -> int:
-        k = max(1, self.cfg.rays_per_pass // max(n_pix * 4, 1))
-        return min(k, num_samples)
+    def plan(self, spp: int) -> tuple[int, int, int]:
+        """(band_rows, k, n_passes) for a given spp.
 
-    def render_tile_sums(
-        self,
-        y0: int,
-        rows: int,
-        spp: int,
-        cancelled: Callable[[], bool] | None = None,
-    ) -> tuple[np.ndarray, int] | None:
-        """Render render-space rows [y0, y0+rows) -> (sums [rows,W,4,3], num_samples).
-
-        Returns None if cancelled mid-way.  ``spp`` follows the reference's
-        integer split: num_samples = spp // 4 per subpixel
-        (src/server.rs:332); spp < 4 renders black.
+        num_samples = spp//4 per subpixel (reference integer split,
+        src/server.rs:332).  k is a power of two; if k*n_passes overshoots
+        num_samples the extra samples are *rendered and counted* (the
+        estimate stays unbiased; all power-of-two spp are exact).
         """
-        cfg = self.cfg
-        w = cfg.width
         num_samples = spp // 4
-        yy, xx = np.mgrid[y0 : y0 + rows, 0:w]
-        px = jnp.asarray(xx.reshape(-1), jnp.int32)
-        py = jnp.asarray(yy.reshape(-1), jnp.int32)
-        n_pix = rows * w
+        if num_samples <= 0:
+            return self._band_rows(1), 1, 0
+        k = min(self.K_MAX, _pow2_floor(num_samples))
+        n_passes = -(-num_samples // k)
+        return self._band_rows(k), k, n_passes
 
-        sums = np.zeros((n_pix, 4, 3), np.float32)
-        done = 0
-        pass_id = 0
-        while done < num_samples:
-            if cancelled is not None and cancelled():
-                return None
-            k = min(self._samples_per_pass(n_pix, num_samples), num_samples - done)
-            out = render_pass(
-                self.scene, self.pre, cfg, px, py, k, self._tile_key(y0, pass_id)
-            )
-            sums += np.asarray(out)
-            done += k
-            pass_id += 1
-        return sums.reshape(rows, w, 4, 3), num_samples
+    def _band_rows(self, k: int) -> int:
+        cfg = self.cfg
+        target = max(1, cfg.rays_per_pass // (cfg.width * 4 * k))
+        return _divisor_band(cfg.height, target)
 
-    def render_rows(
-        self, y0: int, rows: int, spp: int, cancelled=None
-    ) -> np.ndarray | None:
-        """u8 RGB for render-space rows [y0, y0+rows) -> [rows, W, 3]."""
-        out = self.render_tile_sums(y0, rows, spp, cancelled)
-        if out is None:
-            return None
-        sums, num_samples = out
-        return finalize(sums, num_samples)
+    def plan_progressive(self, spp: int) -> tuple[int, int, int]:
+        """(band_rows, k, n_chunks) for progressive refinement: chunks are
+        sized so a full render always delivers several refinements."""
+        num_samples = spp // 4
+        if num_samples <= 0:
+            return self._band_rows(1), 1, 0
+        k = min(self.K_MAX, _pow2_floor(max(1, num_samples // 4)))
+        n_chunks = -(-num_samples // k)
+        return self._band_rows(k), k, n_chunks
 
-    def iter_tiles(self) -> Iterator[tuple[int, int]]:
-        """(y0, rows) tile schedule covering the image in render space."""
-        h = self.cfg.height
-        y = 0
-        while y < h:
-            rows = min(self.tile_rows, h - y)
+    def iter_bands(self, spp: int, rows: int | None = None) -> Iterator[tuple[int, int]]:
+        if rows is None:
+            rows, _, _ = self.plan(spp)
+        for y in range(0, self.cfg.height, rows):
             yield y, rows
-            y += rows
+
+    def _band_key(self, y0: int, salt: int = 0) -> Array:
+        return jax.random.fold_in(jax.random.fold_in(self._base_key, y0), salt)
+
+    # --- rendering --------------------------------------------------------
+
+    def samples_rendered(self, spp: int) -> int:
+        _, k, n_passes = self.plan(spp)
+        return k * n_passes
+
+    def render_band_sums(
+        self, y0: int, rows: int, k: int, n_passes: int, salt: int = 0
+    ) -> Array:
+        """Device sums [rows, W, 4, 3] for the band starting at render row y0."""
+        return render_band(
+            self.scene, self.pre, self.cfg,
+            jnp.int32(y0), rows, k, n_passes,
+            self._band_key(y0, salt),
+        )
+
+    def render_rows(self, y0: int, spp: int) -> tuple[np.ndarray, int] | None:
+        """u8 RGB for one band -> ([rows, W, 3], rows); spp<4 renders black."""
+        rows, k, n_passes = self.plan(spp)
+        if n_passes == 0:
+            return np.zeros((rows, self.cfg.width, 3), np.uint8), rows
+        sums = self.render_band_sums(y0, rows, k, n_passes)
+        img = finalize_device(sums, k * n_passes)
+        return np.asarray(img), rows
 
     def render_image(self, spp: int, cancelled=None) -> np.ndarray | None:
         """Full image -> u8 [H, W, 3] with row 0 at the TOP (client space:
         the reference samples row height-y-1 under label y, src/server.rs:181)."""
         cfg = self.cfg
         img = np.zeros((cfg.height, cfg.width, 3), np.uint8)
-        for y0, rows in self.iter_tiles():
-            out = self.render_rows(y0, rows, spp, cancelled)
+        for y0, rows in self.iter_bands(spp):
+            if cancelled is not None and cancelled():
+                return None
+            out = self.render_rows(y0, spp)
             if out is None:
                 return None
-            # render row y maps to image (label) row H-1-y; a tile of
-            # render rows [y0, y0+rows) lands flipped at labels
+            rgb, _ = out
+            # render rows [y0, y0+rows) land flipped at label rows
             # [H-y0-rows, H-y0).
-            img[cfg.height - y0 - rows : cfg.height - y0] = out[::-1]
+            img[cfg.height - y0 - rows : cfg.height - y0] = rgb[::-1]
         return img

@@ -1,0 +1,250 @@
+"""Asyncio WebSocket render server.
+
+Functional equivalent of the reference's Tokio server (src/server.rs):
+
+- accepts WebSocket connections, assigns each a 5-letter id (:63-78)
+- JSON control messages in: render / stop_rendering (:121-126)
+- binary RenderedPixels messages out (wire.py), streamed as tiles finish
+- one render at a time per connection, pre-cancelled job semantics
+  (:147-154: a fresh job reports running()==False), message dispatch on
+  (running, message) pairs (:93-113), render task detached (:98-106)
+- cancellation observed between device passes (the reference checks
+  between 60-pixel windows, :170-172; a TPU pass is the analogous unit)
+
+Differences (documented):
+- an unparseable message closes that connection with an error log (the
+  reference panics the connection task via expect(), :92)
+- resolution is configurable (reference hard-codes 600x450, :29-30);
+  the default matches the reference
+- optional extension fields in the render message: "width"/"height"
+  (own render size) and "progressive": true to re-stream refined pixels
+  after every sample chunk (reference clients never send these; serde in
+  the reference would reject unknown fields silently? no — serde ignores
+  unknown fields by default, so the extension is wire-compatible)
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import random
+import string
+import threading
+from dataclasses import dataclass, field, replace
+
+import numpy as np
+
+from raytracer_tpu.config import DEFAULT_PORT, RenderConfig
+from raytracer_tpu.render.renderer import Renderer, finalize
+from raytracer_tpu.server import wire
+
+log = logging.getLogger("raytracer_tpu.server")
+
+WIDTH = 600  # reference: src/server.rs:29-30
+HEIGHT = 450
+
+
+class CancellationToken:
+    """AtomicBool-equivalent cancel flag (reference: src/server.rs:226-251)."""
+
+    def __init__(self) -> None:
+        self._cancelled = threading.Event()
+
+    def is_cancelled(self) -> bool:
+        return self._cancelled.is_set()
+
+    def cancel(self) -> bool:
+        """Cancel; returns whether it was ALREADY cancelled (CAS semantics)."""
+        already = self._cancelled.is_set()
+        self._cancelled.set()
+        return already
+
+    def reset(self) -> None:
+        self._cancelled.clear()
+
+
+@dataclass
+class RenderJob:
+    """Per-connection render job; created pre-cancelled so running()==False."""
+
+    send: "callable"  # async fn(bytes) -> None
+    cancel_token: CancellationToken = field(default_factory=CancellationToken)
+
+    def __post_init__(self) -> None:
+        self.cancel_token.cancel()
+
+    def running(self) -> bool:
+        return not self.cancel_token.is_cancelled()
+
+    def stop(self) -> None:
+        self.cancel_token.cancel()
+
+    PASSES_PER_DISPATCH = 8  # cancellation granularity at high spp
+
+    async def run(self, renderer: Renderer, spp: int, progressive: bool = False) -> bool:
+        """Render + stream; returns True if stopped before completion."""
+        self.cancel_token.reset()
+        cancelled = self.cancel_token.is_cancelled
+        height = renderer.cfg.height
+        loop = asyncio.get_running_loop()
+
+        async def stream_rows(y0: int, rows: int, rgb: np.ndarray) -> None:
+            # rgb is render-space rows [y0, y0+rows); wire labels are
+            # flipped: label = height-1-y_render (src/server.rs:181).
+            for i in range(rows):
+                y_label = height - 1 - (y0 + i)
+                for msg in wire.pack_row(y_label, rgb[i]):
+                    await self.send(msg)
+
+        _, k, n_passes = renderer.plan(spp)
+        if n_passes == 0:
+            # spp < 4: the reference's integer spp/4 yields zero samples and
+            # streams black pixels (src/server.rs:332-360).
+            black = np.zeros((renderer.cfg.width, 3), np.uint8)
+            for y in range(height):
+                if cancelled():
+                    break
+                await stream_rows(y, 1, black[None])
+        elif progressive:
+            # Re-stream the whole frame after every k-sample chunk; the
+            # running per-band sums stay on device between chunks.
+            rows_p, k_p, n_chunks = renderer.plan_progressive(spp)
+            sums = {y0: None for y0, _ in renderer.iter_bands(spp, rows_p)}
+            for chunk in range(n_chunks):
+                if cancelled():
+                    break
+                for y0, rows in renderer.iter_bands(spp, rows_p):
+                    if cancelled():
+                        break
+                    out = await loop.run_in_executor(
+                        None,
+                        lambda y0=y0, chunk=chunk: renderer.render_band_sums(
+                            y0, rows_p, k_p, 1, salt=chunk
+                        ),
+                    )
+                    sums[y0] = out if sums[y0] is None else sums[y0] + out
+                    rgb = finalize(np.asarray(sums[y0]), (chunk + 1) * k_p)
+                    await stream_rows(y0, rows, rgb)
+        else:
+            # Reference-style delivery: each pixel streamed exactly once,
+            # spatially as its band completes all samples.
+            rows_b, k, n_passes = renderer.plan(spp)
+            g = self.PASSES_PER_DISPATCH
+            for y0, rows in renderer.iter_bands(spp, rows_b):
+                if cancelled():
+                    break
+                sums = None
+                for g0 in range(0, n_passes, g):
+                    if cancelled():
+                        break
+                    out = await loop.run_in_executor(
+                        None,
+                        lambda y0=y0, g0=g0: renderer.render_band_sums(
+                            y0, rows_b, k, min(g, n_passes - g0), salt=g0
+                        ),
+                    )
+                    sums = out if sums is None else sums + out
+                if sums is not None and not cancelled():
+                    rgb = finalize(np.asarray(sums), k * n_passes)
+                    await stream_rows(y0, rows, rgb)
+
+        was_stopped = self.cancel_token.cancel()
+        return was_stopped
+
+
+class Server:
+    """WebSocket server over a set of loaded scenes."""
+
+    def __init__(
+        self,
+        scenes: dict,
+        cfg: RenderConfig | None = None,
+        width: int = WIDTH,
+        height: int = HEIGHT,
+    ) -> None:
+        self.scenes = scenes
+        self.base_cfg = cfg or RenderConfig()
+        self.width = width
+        self.height = height
+        self.connections: set[str] = set()
+        self._renderers: dict[tuple[str, int, int], Renderer] = {}
+
+    def renderer_for(self, scene_name: str, width: int, height: int) -> Renderer:
+        key = (scene_name, width, height)
+        if key not in self._renderers:
+            cfg = replace(self.base_cfg, width=width, height=height)
+            self._renderers[key] = Renderer(self.scenes[scene_name], cfg)
+        return self._renderers[key]
+
+    def _new_connection_id(self) -> str:
+        # 5 distinct lowercase letters (reference: src/server.rs:63-78)
+        while True:
+            cid = "".join(random.sample(string.ascii_lowercase, 5))
+            if cid not in self.connections:
+                self.connections.add(cid)
+                return cid
+
+    async def handle_connection(self, websocket) -> None:
+        cid = self._new_connection_id()
+        log.info("[%s] Accepted connection.", cid)
+        send_lock = asyncio.Lock()
+
+        async def send(msg: bytes) -> None:
+            async with send_lock:
+                try:
+                    await websocket.send(msg)
+                except Exception:
+                    job.stop()  # send on closed socket cancels (ref :213-216)
+
+        job = RenderJob(send=send)
+        try:
+            async for raw in websocket:
+                if isinstance(raw, (bytes, bytearray)):
+                    continue
+                log.info("[%s] New message: %r", cid, raw)
+                try:
+                    msg = json.loads(raw)
+                    mtype = msg["type"]
+                except (json.JSONDecodeError, KeyError, TypeError):
+                    log.error("[%s] failed to parse message", cid)
+                    break  # reference panics the connection task (:92)
+                if not job.running() and mtype == "render":
+                    scene = msg["scene"]
+                    spp = int(msg["spp"])  # required, like the reference
+                    if scene not in self.scenes:
+                        log.error("[%s] unknown scene %r", cid, scene)
+                        break  # reference unwrap-panics (:100)
+                    w = int(msg.get("width", self.width))
+                    h = int(msg.get("height", self.height))
+                    progressive = bool(msg.get("progressive", False))
+                    renderer = self.renderer_for(scene, w, h)
+
+                    async def run_render() -> None:
+                        log.info("[%s] Rendering...", cid)
+                        stopped = await job.run(renderer, spp, progressive)
+                        if not stopped:
+                            log.info("[%s] Done rendering.", cid)
+
+                    asyncio.get_running_loop().create_task(run_render())
+                elif job.running() and mtype == "stop_rendering":
+                    job.stop()
+                    log.info("[%s] Render cancelled.", cid)
+                # all other (state, message) pairs ignored (ref :112)
+        finally:
+            job.stop()
+            self.connections.discard(cid)
+            log.info("[%s] Disconnected.", cid)
+
+    async def serve(self, port: int = DEFAULT_PORT, host: str = "0.0.0.0"):
+        import websockets
+
+        server = await websockets.serve(
+            self.handle_connection, host, port, max_size=1 << 22
+        )
+        log.info("Listening on port %s.", port)
+        return server
+
+    async def serve_forever(self, port: int = DEFAULT_PORT, host: str = "0.0.0.0") -> None:
+        server = await self.serve(port, host)
+        await server.wait_closed()

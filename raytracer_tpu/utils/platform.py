@@ -11,6 +11,22 @@ from __future__ import annotations
 import os
 
 
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persist jit compilations to disk across processes.
+
+    The integrator's first compile is minutes over the tunneled-TPU remote
+    compile path; caching makes server/bench cold starts fast after the
+    first-ever run of each shape.
+    """
+    import jax
+
+    path = path or os.environ.get("RT_JAX_CACHE", "/tmp/rt_jax_cache")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def force_cpu(n_virtual_devices: int | None = None) -> None:
     """Switch JAX to the host CPU backend (call before any JAX computation).
 

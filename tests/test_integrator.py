@@ -19,7 +19,7 @@ from raytracer_tpu.models.camera import camera_rays
 from raytracer_tpu.models.loader import load_scene
 from raytracer_tpu.ops.intersect import scene_precompute
 from raytracer_tpu.render.integrator import radiance, sample_light
-from raytracer_tpu.render.renderer import Renderer, finalize, render_pass
+from raytracer_tpu.render.renderer import Renderer, finalize, render_band
 
 from tests.oracle import Oracle
 
@@ -123,23 +123,26 @@ def test_sample_light_sphere_distribution(cornell):
     np.testing.assert_allclose(y.mean(axis=0), c, atol=0.15)
 
 
-def test_render_pass_and_finalize_pipeline(cornell):
+def test_render_band_and_finalize_pipeline(cornell):
     """finalize reproduces the clamp/average/gamma pipeline."""
     s, _ = cornell
-    cfg = RenderConfig()
-    px = jnp.asarray([300], jnp.int32)
-    py = jnp.asarray([340], jnp.int32)  # on the light: radiance >> 1, clamps to 1
-    sums = np.asarray(render_pass(s, scene_precompute(s), cfg, px, py, 8, jax.random.key(0)))
+    cfg = RenderConfig(width=608, height=456, rays_per_pass=1 << 15)
+    # band containing the light disk (render row ~340): radiance >> 1
+    sums = np.asarray(
+        render_band(
+            s, scene_precompute(s), cfg, jnp.int32(340), 1, 8, 1, jax.random.key(0)
+        )
+    )
     out = finalize(sums, 8)
-    # clamp(1)^(1/2.2)*255+0.5 -> 255
-    assert (out[0] == 255).all()
+    # the light pixels clamp to 1 -> 1^(1/2.2)*255+0.5 -> 255
+    assert (out[0, 300] == 255).all()
 
 
 def test_render_image_orientation(cornell):
     """Row 0 of the output is the TOP of the image (ceiling, not floor)."""
     s, _ = cornell
     cfg = RenderConfig(width=80, height=60, rays_per_pass=1 << 15)
-    r = Renderer(s, cfg, tile_rows=16)
+    r = Renderer(s, cfg)
     img = r.render_image(8)
     assert img is not None
     # the light glow is in the upper half; floor in the lower half.

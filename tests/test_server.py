@@ -1,0 +1,186 @@
+"""Headless WebSocket integration tests (SURVEY §4g): a Python client
+drives the server end-to-end on a small frame."""
+
+import asyncio
+import json
+import os
+
+import numpy as np
+import pytest
+
+from raytracer_tpu.config import RenderConfig
+from raytracer_tpu.models.loader import load_scene
+from raytracer_tpu.server.app import Server
+from raytracer_tpu.server.wire import parse_chunk
+
+SCENES = os.path.join(os.path.dirname(__file__), "..", "scenes")
+W, H = 60, 45
+
+
+@pytest.fixture(scope="module")
+def server_port():
+    """Run a server over cornell_box at 60x45 on an ephemeral port."""
+    import threading
+
+    scenes = {"cornell_box": load_scene(os.path.join(SCENES, "cornell_box.toml"))}
+    cfg = RenderConfig(rays_per_pass=1 << 15)
+    srv = Server(scenes, cfg=cfg, width=W, height=H)
+
+    loop = asyncio.new_event_loop()
+    port_holder = {}
+    started = threading.Event()
+    shutdown = None
+
+    async def boot():
+        nonlocal shutdown
+        shutdown = asyncio.Event()
+        ws_server = await srv.serve(port=0, host="127.0.0.1")
+        port_holder["port"] = ws_server.sockets[0].getsockname()[1]
+        started.set()
+        await shutdown.wait()
+        ws_server.close()
+
+    t = threading.Thread(target=lambda: loop.run_until_complete(boot()), daemon=True)
+    t.start()
+    assert started.wait(30)
+    yield port_holder["port"]
+    loop.call_soon_threadsafe(shutdown.set)
+    t.join(10)
+
+
+async def _collect_render(port, msg, expect_pixels, timeout=120):
+    import websockets
+
+    got = np.full((H, W, 3), -1, np.int32)
+    n_pixels = 0
+    async with websockets.connect(f"ws://127.0.0.1:{port}") as ws:
+        await ws.send(json.dumps(msg))
+        while n_pixels < expect_pixels:
+            raw = await asyncio.wait_for(ws.recv(), timeout)
+            assert isinstance(raw, (bytes, bytearray))
+            t, x, y, rgb = parse_chunk(raw)
+            assert t == 0
+            n = rgb.shape[0]
+            assert n <= 60 and x + n <= W and 0 <= y < H
+            got[y, x : x + n] = rgb
+            n_pixels += n
+    return got
+
+
+def test_render_streams_full_frame(server_port):
+    img = asyncio.run(
+        _collect_render(
+            server_port,
+            {"type": "render", "scene": "cornell_box", "spp": 8},
+            W * H,
+        )
+    )
+    assert (img >= 0).all()  # every pixel delivered exactly once
+    # orientation: light/ceiling glow near the top rows (label space)
+    assert img[:10].mean() > img[-10:].mean()
+    assert img.max() == 255  # the light clamps to white
+
+
+def test_stop_rendering_cancels(server_port):
+    async def go():
+        import websockets
+
+        async with websockets.connect(f"ws://127.0.0.1:{server_port}") as ws:
+            await ws.send(json.dumps({"type": "render", "scene": "cornell_box", "spp": 64}))
+            # receive a few chunks then stop
+            for _ in range(3):
+                await asyncio.wait_for(ws.recv(), 120)
+            await ws.send(json.dumps({"type": "stop_rendering"}))
+            # drain until the stream goes quiet
+            drained = 0
+            try:
+                while True:
+                    await asyncio.wait_for(ws.recv(), 3)
+                    drained += 1
+            except asyncio.TimeoutError:
+                pass
+            assert drained < H * W / 60  # far fewer than a full frame
+
+    asyncio.run(go())
+
+
+def test_second_render_on_same_connection(server_port):
+    async def go():
+        import websockets
+
+        async with websockets.connect(f"ws://127.0.0.1:{server_port}") as ws:
+            for _ in range(2):
+                await ws.send(json.dumps({"type": "render", "scene": "cornell_box", "spp": 4}))
+                seen = 0
+                while seen < W * H:
+                    raw = await asyncio.wait_for(ws.recv(), 120)
+                    seen += parse_chunk(raw)[3].shape[0]
+
+    asyncio.run(go())
+
+
+def test_progressive_restreams_pixels(server_port):
+    async def go():
+        import websockets
+
+        async with websockets.connect(f"ws://127.0.0.1:{server_port}") as ws:
+            await ws.send(
+                json.dumps(
+                    {
+                        "type": "render",
+                        "scene": "cornell_box",
+                        "spp": 16,
+                        "progressive": True,
+                    }
+                )
+            )
+            total = 0
+            try:
+                while True:
+                    raw = await asyncio.wait_for(ws.recv(), 60)
+                    total += parse_chunk(raw)[3].shape[0]
+            except asyncio.TimeoutError:
+                pass
+            # full frame delivered at least twice (re-streamed refinement)
+            assert total >= 2 * W * H
+
+    asyncio.run(go())
+
+
+def test_unknown_scene_closes_connection(server_port):
+    async def go():
+        import websockets
+
+        async with websockets.connect(f"ws://127.0.0.1:{server_port}") as ws:
+            await ws.send(json.dumps({"type": "render", "scene": "nope", "spp": 4}))
+            with pytest.raises(websockets.exceptions.ConnectionClosed):
+                while True:
+                    await asyncio.wait_for(ws.recv(), 10)
+
+    asyncio.run(go())
+
+
+def test_render_while_running_is_ignored(server_port):
+    async def go():
+        import websockets
+
+        async with websockets.connect(f"ws://127.0.0.1:{server_port}") as ws:
+            await ws.send(json.dumps({"type": "render", "scene": "cornell_box", "spp": 16}))
+            await asyncio.wait_for(ws.recv(), 120)
+            # second render while busy: ignored (reference dispatch table)
+            await ws.send(json.dumps({"type": "render", "scene": "cornell_box", "spp": 16}))
+            seen = 60  # the one chunk above
+            while seen < W * H:
+                raw = await asyncio.wait_for(ws.recv(), 120)
+                seen += parse_chunk(raw)[3].shape[0]
+            # exactly one full frame arrives, not two
+            try:
+                extra = 0
+                while True:
+                    await asyncio.wait_for(ws.recv(), 3)
+                    extra += 1
+            except asyncio.TimeoutError:
+                pass
+            assert extra == 0
+
+    asyncio.run(go())
