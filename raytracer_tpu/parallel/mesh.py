@@ -1,0 +1,115 @@
+"""Multi-chip tile sharding over a ``jax.sharding.Mesh``.
+
+The reference's only compute parallelism is static row-band decomposition
+across CPU threads (src/server.rs:165-168: task t owns rows
+[t*H/N, (t+1)*H/N)).  The TPU-native equivalent maps that row-band axis
+onto the *device mesh*: a 1-D mesh over chips, each chip rendering a
+disjoint row band of the frame via ``shard_map``:
+
+- the scene (SoA arrays + BVH) is tiny and **replicated** on every chip;
+- pixels are **sharded**: each device derives its own band origin from
+  ``lax.axis_index`` — no cross-device communication in the hot loop at
+  all, which is the ideal ICI story (zero collectives, perfect scaling);
+- RNG keys fold in the device index, so the sharded render is
+  deterministic and, per-device, identical to a single-chip render of
+  that band.
+
+A ``psum`` over the per-device ray counters is the one collective, used
+only for Mrays/s accounting.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+from jax.sharding import Mesh, PartitionSpec as P
+
+from raytracer_tpu.config import RenderConfig
+from raytracer_tpu.models.scene import SceneArrays
+from raytracer_tpu.ops.intersect import ScenePre
+from raytracer_tpu.render import renderer as rnd
+
+AXIS = "tiles"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D device mesh over all (or the given) devices."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "rows_per_dev", "k", "n_passes", "mesh")
+)
+def render_bands_sharded(
+    scene: SceneArrays,
+    pre: ScenePre,
+    cfg: RenderConfig,
+    y0: Array,  # scalar i32: first render-space row of the whole span
+    rows_per_dev: int,
+    k: int,
+    n_passes: int,
+    key: Array,
+    mesh: Mesh,
+) -> tuple[Array, Array]:
+    """Render ``n_dev * rows_per_dev`` rows across the mesh in one dispatch.
+
+    Device d renders rows [y0 + d*rows_per_dev, y0 + (d+1)*rows_per_dev).
+    Returns (sums [n_dev*rows_per_dev, W, 4, 3] sharded over rows, total
+    rays i32 replicated).
+    """
+
+    def per_device(scene, pre, y0, key):
+        d = jax.lax.axis_index(AXIS)
+        my_y0 = y0 + d.astype(jnp.int32) * rows_per_dev
+        my_key = jax.random.fold_in(key, d)
+        sums, rays = rnd._render_band_impl(
+            scene, pre, cfg, my_y0, rows_per_dev, k, n_passes, my_key
+        )
+        return sums, jax.lax.psum(rays, AXIS)
+
+    shard = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),  # scene/pre/y0/key replicated
+        out_specs=(P(AXIS), P()),  # row bands sharded, ray count replicated
+        check_vma=False,
+    )
+    return shard(scene, pre, y0, key)
+
+
+class ShardedRenderer(rnd.Renderer):
+    """Renderer whose bands are distributed across a device mesh.
+
+    Single-device meshes degrade to the plain ``Renderer`` schedule, so the
+    same code path serves the one-chip container and a v5e pod slice.
+    """
+
+    def __init__(self, scene, cfg: RenderConfig | None = None, mesh: Mesh | None = None):
+        super().__init__(scene, cfg)
+        self.mesh = mesh or make_mesh()
+        self.n_dev = self.mesh.devices.size
+
+    def _band_rows(self, k: int) -> int:
+        # Split the frame into the fewest equal per-device bands such that
+        # one dispatch stays near rays_per_pass *per device*; the final
+        # band may overshoot H (render_image clips the excess rows).
+        cfg = self.cfg
+        target = max(1, cfg.rays_per_pass // (cfg.width * 4 * k))
+        n_bands = max(1, -(-cfg.height // (target * self.n_dev)))
+        rows_per_dev = -(-cfg.height // (n_bands * self.n_dev))
+        return rows_per_dev * self.n_dev
+
+    def render_band_sums(self, y0: int, rows: int, k: int, n_passes: int, salt: int = 0):
+        assert rows % self.n_dev == 0
+        sums, rays = render_bands_sharded(
+            self.scene, self.pre, self.cfg,
+            jnp.int32(y0), rows // self.n_dev, k, n_passes,
+            self._band_key(y0, salt), self.mesh,
+        )
+        self.ray_counts.append(rays)
+        return sums

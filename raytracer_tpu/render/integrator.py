@@ -88,11 +88,13 @@ def radiance(
     ro: Array,
     rd: Array,
     key: Array,
-) -> Array:
-    """Estimate incoming radiance for N camera rays -> [N,3].
+) -> tuple[Array, Array]:
+    """Estimate incoming radiance for N camera rays -> ([N,3], rays i32).
 
     Equivalent of ``Scene::received_radiance`` (src/scene.rs:152-159) over a
-    wavefront.
+    wavefront.  The second output counts rays actually traced (camera +
+    shadow + continuation, matching how the reference's loop would count
+    them) for Mrays/s accounting.
     """
     eps = cfg.eps
     n_lanes = ro.shape[0]
@@ -103,11 +105,11 @@ def radiance(
     beta0 = jnp.where(hit.valid[:, None], 1.0, 0.0) * jnp.ones((n_lanes, 3))
 
     def cond(state):
-        d, _l, _beta, _x, _n, _obj, _o, alive = state
+        d, _l, _beta, _x, _n, _obj, _o, alive, _rays = state
         return (d <= cfg.max_depth) & jnp.any(alive)
 
     def body(state):
-        d, L, beta, x, n, obj, o, alive = state
+        d, L, beta, x, n, obj, o, alive, rays = state
         us = jax.random.uniform(jax.random.fold_in(key, d), (7, n_lanes))
         p = jnp.where(d <= cfg.rr_start_depth, 1.0, cfg.rr_survival)
 
@@ -178,9 +180,17 @@ def radiance(
             L = L + jnp.where((good & is_spec)[:, None], beta * nxt_e / p, 0.0)
 
         beta = jnp.where(good[:, None], beta * weight, 0.0)
+        rays = (
+            rays
+            + jnp.sum((alive & ~is_spec).astype(jnp.int32))  # shadow rays
+            + jnp.sum(cont.astype(jnp.int32))  # continuation rays
+        )
         alive = good & jnp.any(beta > 0.0, axis=-1)
-        return (d + 1, L, beta, nxt.pos, nxt.n, nxt.obj, -wi, alive)
+        return (d + 1, L, beta, nxt.pos, nxt.n, nxt.obj, -wi, alive, rays)
 
-    state = (jnp.int32(1), l0, beta0, hit.pos, hit.n, hit.obj, -rd, hit.valid)
-    _, L, *_ = jax.lax.while_loop(cond, body, state)
-    return L
+    state = (
+        jnp.int32(1), l0, beta0, hit.pos, hit.n, hit.obj, -rd, hit.valid,
+        jnp.int32(n_lanes),  # camera rays
+    )
+    out = jax.lax.while_loop(cond, body, state)
+    return out[1], out[8]

@@ -68,12 +68,11 @@ def _pass_sums(
         scene, cfg.width, cfg.height, cfg.fov_scale,
         lane_px, lane_py, lane_sx, lane_sy, jitter[0], jitter[1],
     )
-    rad = radiance(scene, pre, cfg, ro, rd, jax.random.fold_in(key, 1))
-    return rad.reshape(n_pix, 4, k, 3).sum(axis=2)
+    rad, rays = radiance(scene, pre, cfg, ro, rd, jax.random.fold_in(key, 1))
+    return rad.reshape(n_pix, 4, k, 3).sum(axis=2), rays
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "rows", "k", "n_passes"))
-def render_band(
+def _render_band_impl(
     scene: SceneArrays,
     pre: ScenePre,
     cfg: RenderConfig,
@@ -82,10 +81,11 @@ def render_band(
     k: int,
     n_passes: int,
     key: Array,
-) -> Array:
+) -> tuple[Array, Array]:
     """Render a row band at k*n_passes samples/subpixel in ONE dispatch.
 
-    Returns per-subpixel radiance sums [rows, W, 4, 3] (device array).
+    Returns (per-subpixel radiance sums [rows, W, 4, 3], rays-traced i32),
+    both device arrays.
     """
     w = cfg.width
     n_pix = rows * w
@@ -95,13 +95,20 @@ def render_band(
         jnp.arange(w, dtype=jnp.float32)[None, :], (rows, w)
     ).reshape(n_pix)
 
-    def body(p, sums):
-        return sums + _pass_sums(scene, pre, cfg, px, py, k, jax.random.fold_in(key, p))
+    def body(p, carry):
+        sums, rays = carry
+        s, r = _pass_sums(scene, pre, cfg, px, py, k, jax.random.fold_in(key, p))
+        return sums + s, rays + r
 
-    sums = jax.lax.fori_loop(
-        0, n_passes, body, jnp.zeros((n_pix, 4, 3), jnp.float32)
+    sums, rays = jax.lax.fori_loop(
+        0, n_passes, body, (jnp.zeros((n_pix, 4, 3), jnp.float32), jnp.int32(0))
     )
-    return sums.reshape(rows, w, 4, 3)
+    return sums.reshape(rows, w, 4, 3), rays
+
+
+render_band = functools.partial(
+    jax.jit, static_argnames=("cfg", "rows", "k", "n_passes")
+)(_render_band_impl)
 
 
 @functools.partial(jax.jit, static_argnames=("num_samples",))
@@ -150,6 +157,7 @@ class Renderer:
         self.cfg = cfg or RenderConfig()
         self.pre = scene_precompute(scene)
         self._base_key = jax.random.key(self.cfg.seed)
+        self.ray_counts: list = []
 
     # --- scheduling -------------------------------------------------------
 
@@ -201,12 +209,22 @@ class Renderer:
     def render_band_sums(
         self, y0: int, rows: int, k: int, n_passes: int, salt: int = 0
     ) -> Array:
-        """Device sums [rows, W, 4, 3] for the band starting at render row y0."""
-        return render_band(
+        """Device sums [rows, W, 4, 3] for the band starting at render row y0.
+
+        Rays traced are accumulated (lazily, as device scalars) on
+        ``self.ray_counts`` for Mrays/s accounting.
+        """
+        sums, rays = render_band(
             self.scene, self.pre, self.cfg,
             jnp.int32(y0), rows, k, n_passes,
             self._band_key(y0, salt),
         )
+        self.ray_counts.append(rays)
+        return sums
+
+    def rays_traced(self) -> int:
+        """Total rays traced by this renderer so far (syncs the device)."""
+        return int(sum(int(r) for r in self.ray_counts))
 
     def render_rows(self, y0: int, spp: int) -> tuple[np.ndarray, int] | None:
         """u8 RGB for one band -> ([rows, W, 3], rows); spp<4 renders black."""
@@ -229,7 +247,9 @@ class Renderer:
             if out is None:
                 return None
             rgb, _ = out
-            # render rows [y0, y0+rows) land flipped at label rows
-            # [H-y0-rows, H-y0).
-            img[cfg.height - y0 - rows : cfg.height - y0] = rgb[::-1]
+            # Render rows [y0, y0+rows) land flipped at label rows
+            # [H-y0-rows, H-y0).  Bands may overshoot H (sharded renderers
+            # round up so every device gets equal rows); clip the excess.
+            valid = min(rows, cfg.height - y0)
+            img[cfg.height - y0 - valid : cfg.height - y0] = rgb[:valid][::-1]
         return img

@@ -44,7 +44,8 @@ def _wavefront_pixel_radiance(s, cfg, px, py, n_samples, seed=0):
     us = jax.random.uniform(jax.random.fold_in(key, 0), (2, n))
     pre = scene_precompute(s)
     ro, rd = camera_rays(s, cfg.width, cfg.height, cfg.fov_scale, pxa, pya, z, z, us[0], us[1])
-    rad = radiance(s, pre, cfg, ro, rd, jax.random.fold_in(key, 1))
+    rad, rays = radiance(s, pre, cfg, ro, rd, jax.random.fold_in(key, 1))
+    assert int(rays) >= n  # at least the camera rays
     return np.asarray(rad)
 
 
@@ -128,11 +129,10 @@ def test_render_band_and_finalize_pipeline(cornell):
     s, _ = cornell
     cfg = RenderConfig(width=608, height=456, rays_per_pass=1 << 15)
     # band containing the light disk (render row ~340): radiance >> 1
-    sums = np.asarray(
-        render_band(
-            s, scene_precompute(s), cfg, jnp.int32(340), 1, 8, 1, jax.random.key(0)
-        )
+    sums, _rays = render_band(
+        s, scene_precompute(s), cfg, jnp.int32(340), 1, 8, 1, jax.random.key(0)
     )
+    sums = np.asarray(sums)
     out = finalize(sums, 8)
     # the light pixels clamp to 1 -> 1^(1/2.2)*255+0.5 -> 255
     assert (out[0, 300] == 255).all()
