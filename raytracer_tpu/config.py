@@ -68,9 +68,14 @@ class RenderConfig:
 
     eps: Epsilons = dataclasses.field(default_factory=Epsilons)
 
-    # Wavefront batching: number of camera samples traced per device step.
-    # Tuned so one step is ~100ms on a v5e for responsive cancellation.
+    # Wavefront batching: lane budget per device step.
     rays_per_pass: int = 1 << 20
+
+    # Integrator scheduling: "regen" = regenerating wavefront (dead lanes
+    # immediately claim fresh camera samples, ~2x occupancy; production
+    # path, render/wavefront.py); "simple" = plain lockstep wavefront
+    # (render/integrator.py — the readable reference path).
+    engine: str = "regen"
 
     # RNG base seed.  The reference uses unseeded thread-local RNG
     # (non-reproducible); we use counter-based threefry keyed on

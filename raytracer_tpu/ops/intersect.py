@@ -2,28 +2,28 @@
 
 The reference intersects one ray against one object at a time through an
 enum dispatch (src/geometry.rs:512-571) inside a per-object linear scan
-(src/scene.rs:272-289).  Here a whole wavefront of N rays is tested against
-all primitives at once, and — the TPU-first part — every ray x primitive
-term that is bilinear in (ray, primitive) is phrased as an ``[N,3] @ [3,K]``
-matmul so the MXU does the heavy lifting instead of the VPU chewing on an
-``[N,K,3]`` broadcast:
+(src/scene.rs:272-289).  Here a whole wavefront of N rays is tested
+against all primitives at once, laid out for the TPU's VPU:
 
-- sphere:    b = op.d and op.op decompose into  rd@pos.T, ro@pos.T
-- plane:     d.n and (pos-ro).n are rd@n.T, ro@n.T
-- triangle:  the Moller-Trumbore test (reference: src/geometry.rs:637-670)
-  is rewritten in barycentric-gradient form: with per-triangle precomputed
-  q1=(e2 x n)/|n|^2, q2=(n x e1)/|n|^2, all of t,u,v come from six
-  [N,3]@[3,T] matmuls.
+- every per-(ray, primitive) quantity lives in a ``[K, N]`` array —
+  primitives on the *sublane* axis, rays on the dense 128-wide *lane*
+  axis.  (The transposed ``[N, K]`` layout leaves 15/16 of every vector
+  register empty at K=8 and measured ~2x slower.)
+- dot products are expanded into component FMAs (exact f32 on the VPU;
+  an earlier MXU-matmul formulation needed 6-pass Precision.HIGHEST
+  because the TPU's default bf16 matmul corrupts the sphere
+  discriminant's 5-digit cancellation at this scene's scale).
+- empty primitive groups compile away entirely (static scene metadata).
 
-Semantics preserved (two-sided normals, epsilon cutoffs, near-then-far
-sphere root) with f32-retuned epsilons from ``config.Epsilons``.
+Semantics preserved from the reference (two-sided normals, epsilon
+cutoffs, near-then-far sphere root) with f32-retuned epsilons from
+``config.Epsilons``.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 from flax import struct
 from jax import Array
@@ -75,63 +75,63 @@ def tri_precompute(a: Array, b: Array, c: Array) -> TriPre:
     )
 
 
-def _mm(a: Array, b: Array) -> Array:
-    """[N,3] @ [3,K] in *true* f32.
-
-    Precision.HIGHEST is load-bearing: the TPU default lowers f32 matmuls
-    to single-pass bf16 on the MXU (~8 mantissa bits), and the sphere
-    discriminant b^2 - op.op + r^2 cancels ~5 decimal digits at this
-    scene's scale (|op|^2 ~ 4e4 vs r^2 = 16) — bf16 error ~256 there turns
-    the r=4 light sphere into an 80-pixel blob of false hits.
-    """
-    return jnp.dot(
-        a, b, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+def _dot_kn(p: Array, v: Array) -> Array:
+    """dot(p[K,3], v[N,3]) -> [K,N] via component FMAs (dense lanes)."""
+    return (
+        p[:, 0:1] * v[None, :, 0]
+        + p[:, 1:2] * v[None, :, 1]
+        + p[:, 2:3] * v[None, :, 2]
     )
 
 
 def intersect_spheres(
     ro: Array, rd: Array, pos: Array, r: Array, valid: Array, eps: Epsilons
 ) -> Array:
-    """t of nearest valid root per (ray, sphere) -> [N,S]; INF on miss.
+    """t of nearest valid root per (sphere, ray) -> [S,N]; INF on miss.
 
     smallpt quadratic with near-root-then-far-root selection
     (reference: src/geometry.rs:514-550).
     """
-    b = _mm(rd, pos.T) - vm.dot(ro, rd)[:, None]  # [N,S] op.d
+    b = _dot_kn(pos, rd) - vm.dot(ro, rd)[None, :]  # [S,N] op.d
     opop = (
-        vm.norm2(pos)[None, :] - 2.0 * _mm(ro, pos.T) + vm.norm2(ro)[:, None]
-    )  # [N,S] op.op
-    det = b * b - opop + (r * r)[None, :]
+        vm.norm2(pos)[:, None] - 2.0 * _dot_kn(pos, ro) + vm.norm2(ro)[None, :]
+    )  # [S,N] op.op
+    det = b * b - opop + (r * r)[:, None]
     sq = jnp.sqrt(jnp.maximum(det, 0.0))
     t_near = b - sq
     t_far = b + sq
     t = jnp.where(t_near > eps.sphere_tmin, t_near, jnp.where(t_far > eps.sphere_tmin, t_far, INF))
-    return jnp.where((det >= 0.0) & valid[None, :], t, INF)
+    return jnp.where((det >= 0.0) & valid[:, None], t, INF)
 
 
 def intersect_planes(
     ro: Array, rd: Array, pos: Array, n: Array, valid: Array, eps: Epsilons
 ) -> Array:
-    """t per (ray, plane) -> [N,P]; INF on miss.
+    """t per (plane, ray) -> [P,N]; INF on miss.
 
     Reference: parallel cutoff |d.n|<1e-4, accepts t>=0 (src/geometry.rs:551-568).
     """
-    d_dot_n = _mm(rd, n.T)  # [N,P]
-    po_dot_n = vm.dot(pos, n)[None, :] - _mm(ro, n.T)  # [N,P] (pos-ro).n
+    d_dot_n = _dot_kn(n, rd)  # [P,N]
+    po_dot_n = vm.dot(pos, n)[:, None] - _dot_kn(n, ro)  # [P,N] (pos-ro).n
     t = po_dot_n / d_dot_n
-    ok = (jnp.abs(d_dot_n) >= eps.plane_parallel) & (t >= 0.0) & valid[None, :]
+    ok = (jnp.abs(d_dot_n) >= eps.plane_parallel) & (t >= 0.0) & valid[:, None]
     return jnp.where(ok, t, INF)
 
 
 def intersect_triangles(
     ro: Array, rd: Array, pre: TriPre, valid: Array, eps: Epsilons
 ) -> Array:
-    """t per (ray, triangle) -> [N,T]; INF on miss.  Six MXU matmuls total."""
-    denom = _mm(rd, pre.n_unit.T)  # [N,T] d.n
-    t = (pre.n_d[None, :] - _mm(ro, pre.n_unit.T)) / denom
+    """t per (triangle, ray) -> [T,N]; INF on miss.
+
+    Moller-Trumbore rewritten in barycentric-gradient form: with
+    per-triangle q1=(e2 x n)/|n|^2, q2=(n x e1)/|n|^2 the test needs six
+    [T,N] dot maps and a handful of FMAs (reference: src/geometry.rs:637-670).
+    """
+    denom = _dot_kn(pre.n_unit, rd)  # [T,N] d.n
+    t = (pre.n_d[:, None] - _dot_kn(pre.n_unit, ro)) / denom
     # p.q = ro.q + t * rd.q  without materializing p per pair
-    u = _mm(ro, pre.q1.T) + t * _mm(rd, pre.q1.T) - pre.q1_a[None, :]
-    v = _mm(ro, pre.q2.T) + t * _mm(rd, pre.q2.T) - pre.q2_a[None, :]
+    u = _dot_kn(pre.q1, ro) + t * _dot_kn(pre.q1, rd) - pre.q1_a[:, None]
+    v = _dot_kn(pre.q2, ro) + t * _dot_kn(pre.q2, rd) - pre.q2_a[:, None]
     ok = (
         (jnp.abs(denom) >= eps.tri_parallel)
         & (u >= 0.0)
@@ -139,7 +139,7 @@ def intersect_triangles(
         & (v >= 0.0)
         & (u + v <= 1.0)
         & (t > eps.tri_tmin)
-        & valid[None, :]
+        & valid[:, None]
     )
     return jnp.where(ok, t, INF)
 
@@ -154,19 +154,27 @@ def scene_precompute(scene: SceneArrays) -> ScenePre:
     return ScenePre(tri=tri_precompute(scene.tri_a, scene.tri_b, scene.tri_c))
 
 
-def trace(scene: SceneArrays, pre: ScenePre, ro: Array, rd: Array, eps: Epsilons) -> Hit:
-    """Nearest hit of each ray against the whole scene.
-
-    Equivalent of Scene::trace_ray (src/scene.rs:272-289) for a wavefront:
-    per-group argmin-t, then a cross-group argmin, then one gather of the
-    winning primitive's attributes.
-    """
+def _group_ts(scene: SceneArrays, pre: ScenePre, ro: Array, rd: Array, eps: Epsilons):
+    """Per-group (nearest t [N], argmin [N]) with empty groups compiled out."""
     n_rays = ro.shape[0]
+    inf = jnp.full((n_rays,), INF)
+    zero = jnp.zeros((n_rays,), jnp.int32)
 
-    ts = intersect_spheres(ro, rd, scene.sph_pos, scene.sph_r, scene.sph_valid, eps)
-    tp = intersect_planes(ro, rd, scene.pln_pos, scene.pln_n, scene.pln_valid, eps)
+    if scene.n_spheres > 0:
+        ts = intersect_spheres(ro, rd, scene.sph_pos, scene.sph_r, scene.sph_valid, eps)
+        ts_best, ts_arg = jnp.min(ts, axis=0), jnp.argmin(ts, axis=0).astype(jnp.int32)
+    else:
+        ts_best, ts_arg = inf, zero
 
-    if scene.use_bvh:
+    if scene.n_planes > 0:
+        tp = intersect_planes(ro, rd, scene.pln_pos, scene.pln_n, scene.pln_valid, eps)
+        tp_best, tp_arg = jnp.min(tp, axis=0), jnp.argmin(tp, axis=0).astype(jnp.int32)
+    else:
+        tp_best, tp_arg = inf, zero
+
+    if scene.n_triangles == 0:
+        tt_best, tt_arg = inf, zero
+    elif scene.use_bvh:
         from raytracer_tpu.ops.bvh import bvh_intersect
 
         # Brute-force prefix (cube/prism tris) + BVH over the mesh tail.
@@ -174,33 +182,53 @@ def trace(scene: SceneArrays, pre: ScenePre, ro: Array, rd: Array, eps: Epsilons
         if k > 0:
             pre_prefix = TriPre(*(x[:k] for x in pre.tri))
             tt = intersect_triangles(ro, rd, pre_prefix, scene.tri_valid[:k], eps)
-            tt_best = jnp.min(tt, axis=1)
-            tt_arg = jnp.argmin(tt, axis=1).astype(jnp.int32)
+            tt_best = jnp.min(tt, axis=0)
+            tt_arg = jnp.argmin(tt, axis=0).astype(jnp.int32)
         else:
-            tt_best = jnp.full((n_rays,), INF)
-            tt_arg = jnp.zeros((n_rays,), jnp.int32)
+            tt_best, tt_arg = inf, zero
         bt, bidx = bvh_intersect(scene, ro, rd, eps)
         use_b = bt < tt_best
         tt_best = jnp.where(use_b, bt, tt_best)
         tt_arg = jnp.where(use_b, bidx, tt_arg)
     else:
         tt = intersect_triangles(ro, rd, pre.tri, scene.tri_valid, eps)
-        tt_best = jnp.min(tt, axis=1)
-        tt_arg = jnp.argmin(tt, axis=1).astype(jnp.int32)
+        tt_best = jnp.min(tt, axis=0)
+        tt_arg = jnp.argmin(tt, axis=0).astype(jnp.int32)
 
-    ts_best = jnp.min(ts, axis=1)
-    ts_arg = jnp.argmin(ts, axis=1).astype(jnp.int32)
-    tp_best = jnp.min(tp, axis=1)
-    tp_arg = jnp.argmin(tp, axis=1).astype(jnp.int32)
+    return (ts_best, ts_arg), (tp_best, tp_arg), (tt_best, tt_arg)
 
-    group_t = jnp.stack([ts_best, tp_best, tt_best], axis=1)  # [N,3]
-    group = jnp.argmin(group_t, axis=1)  # 0=sphere 1=plane 2=triangle
-    t_best = jnp.min(group_t, axis=1)
+
+def trace_t(scene: SceneArrays, pre: ScenePre, ro: Array, rd: Array, eps: Epsilons):
+    """Nearest-hit distance only -> (t [N], valid [N]).
+
+    The visibility/shadow test (Scene::mutually_visible, src/scene.rs:258-270)
+    needs just the distance — skipping the winner's attribute gathers and
+    normal math saves a chunk of the per-bounce cost.
+    """
+    (ts, _), (tp, _), (tt, _) = _group_ts(scene, pre, ro, rd, eps)
+    t = jnp.minimum(jnp.minimum(ts, tp), tt)
+    return t, t < INF
+
+
+def trace(scene: SceneArrays, pre: ScenePre, ro: Array, rd: Array, eps: Epsilons) -> Hit:
+    """Nearest hit of each ray against the whole scene.
+
+    Equivalent of Scene::trace_ray (src/scene.rs:272-289) for a wavefront:
+    per-group argmin-t, then a cross-group argmin, then one gather of the
+    winning primitive's attributes.
+    """
+    (ts_best, ts_arg), (tp_best, tp_arg), (tt_best, tt_arg) = _group_ts(
+        scene, pre, ro, rd, eps
+    )
+
+    group_t = jnp.stack([ts_best, tp_best, tt_best], axis=0)  # [3,N]
+    group = jnp.argmin(group_t, axis=0)  # 0=sphere 1=plane 2=triangle
+    t_best = jnp.min(group_t, axis=0)
     valid = t_best < INF
 
     # Per-group hit attributes at the winning primitive.
-    sc = scene.sph_pos[ts_arg]  # [N,3]
     pos_raw = ro + t_best[:, None] * rd
+    sc = scene.sph_pos[ts_arg]  # [N,3]
     n_sph = vm.normalize(pos_raw - sc, eps=1e-20)
     n_pln = scene.pln_n[tp_arg]
     n_tri = pre.tri.n_unit[tt_arg]

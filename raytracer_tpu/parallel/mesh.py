@@ -42,17 +42,14 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (AXIS,))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "rows_per_dev", "k", "n_passes", "mesh")
-)
+@functools.partial(jax.jit, static_argnames=("cfg", "rows_per_dev", "mesh"))
 def render_bands_sharded(
     scene: SceneArrays,
     pre: ScenePre,
     cfg: RenderConfig,
     y0: Array,  # scalar i32: first render-space row of the whole span
     rows_per_dev: int,
-    k: int,
-    n_passes: int,
+    num_samples: Array,  # scalar i32 samples per subpixel (dynamic)
     key: Array,
     mesh: Mesh,
 ) -> tuple[Array, Array]:
@@ -62,24 +59,25 @@ def render_bands_sharded(
     Returns (sums [n_dev*rows_per_dev, W, 4, 3] sharded over rows, total
     rays i32 replicated).
     """
+    from raytracer_tpu.render.wavefront import render_band_regen
 
-    def per_device(scene, pre, y0, key):
+    def per_device(scene, pre, y0, num_samples, key):
         d = jax.lax.axis_index(AXIS)
         my_y0 = y0 + d.astype(jnp.int32) * rows_per_dev
         my_key = jax.random.fold_in(key, d)
-        sums, rays = rnd._render_band_impl(
-            scene, pre, cfg, my_y0, rows_per_dev, k, n_passes, my_key
+        sums, rays = render_band_regen(
+            scene, pre, cfg, my_y0, rows_per_dev, num_samples, my_key
         )
         return sums, jax.lax.psum(rays, AXIS)
 
     shard = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P()),  # scene/pre/y0/key replicated
+        in_specs=(P(), P(), P(), P(), P()),  # everything replicated in
         out_specs=(P(AXIS), P()),  # row bands sharded, ray count replicated
         check_vma=False,
     )
-    return shard(scene, pre, y0, key)
+    return shard(scene, pre, y0, num_samples, key)
 
 
 class ShardedRenderer(rnd.Renderer):
@@ -91,6 +89,9 @@ class ShardedRenderer(rnd.Renderer):
 
     def __init__(self, scene, cfg: RenderConfig | None = None, mesh: Mesh | None = None):
         super().__init__(scene, cfg)
+        assert (cfg or RenderConfig()).engine == "regen", (
+            "ShardedRenderer supports the streaming engine only"
+        )
         self.mesh = mesh or make_mesh()
         self.n_dev = self.mesh.devices.size
 
@@ -99,7 +100,8 @@ class ShardedRenderer(rnd.Renderer):
         # one dispatch stays near rays_per_pass *per device*; the final
         # band may overshoot H (render_image clips the excess rows).
         cfg = self.cfg
-        target = max(1, cfg.rays_per_pass // (cfg.width * 4 * k))
+        lanes_per_row = cfg.width * 4 * (1 if cfg.engine == "regen" else k)
+        target = max(1, cfg.rays_per_pass // lanes_per_row)
         n_bands = max(1, -(-cfg.height // (target * self.n_dev)))
         rows_per_dev = -(-cfg.height // (n_bands * self.n_dev))
         return rows_per_dev * self.n_dev
@@ -108,7 +110,7 @@ class ShardedRenderer(rnd.Renderer):
         assert rows % self.n_dev == 0
         sums, rays = render_bands_sharded(
             self.scene, self.pre, self.cfg,
-            jnp.int32(y0), rows // self.n_dev, k, n_passes,
+            jnp.int32(y0), rows // self.n_dev, jnp.int32(k * n_passes),
             self._band_key(y0, salt), self.mesh,
         )
         self.ray_counts.append(rays)

@@ -47,7 +47,7 @@ from raytracer_tpu.config import RenderConfig
 from raytracer_tpu.models import vecmath as vm
 from raytracer_tpu.models.scene import LIGHT_SPHERE, BRDF_SPECULAR, SceneArrays
 from raytracer_tpu.ops import brdf
-from raytracer_tpu.ops.intersect import ScenePre, trace
+from raytracer_tpu.ops.intersect import ScenePre, trace, trace_t
 
 TWO_PI = jnp.float32(2.0 * jnp.pi)
 
@@ -122,9 +122,9 @@ def radiance(
         dist = vm.length(to_y)
         wi_d = to_y / jnp.maximum(dist, 1e-20)[:, None]
         r2 = jnp.maximum(dist * dist, 1e-20)
-        shadow = trace(scene, pre, x, wi_d, eps)
+        sh_t, sh_valid = trace_t(scene, pre, x, wi_d, eps)
         # mutually_visible: nearest hit at/just beyond y (src/scene.rs:258-270)
-        vis = (~shadow.valid) | (shadow.t + eps.visibility_margin >= dist)
+        vis = (~sh_valid) | (sh_t + eps.visibility_margin >= dist)
         f_d = brdf.eval_nonspecular(mat, n, o, wi_d)
         cos_x = vm.dot(n, wi_d)
         cos_y = vm.dot(ny, -wi_d)

@@ -111,6 +111,24 @@ render_band = functools.partial(
 )(_render_band_impl)
 
 
+def _render_band_regen_jit():
+    from raytracer_tpu.render.wavefront import render_band_regen
+
+    return functools.partial(jax.jit, static_argnames=("cfg", "rows"))(render_band_regen)
+
+
+_regen_jit_cache = None
+
+
+def render_band_streaming(scene, pre, cfg, y0, rows, num_samples, key):
+    """Jit wrapper for the streaming engine: num_samples is DYNAMIC so one
+    compile per (cfg, rows) serves every spp."""
+    global _regen_jit_cache
+    if _regen_jit_cache is None:
+        _regen_jit_cache = _render_band_regen_jit()
+    return _regen_jit_cache(scene, pre, cfg, y0, rows, num_samples, key)
+
+
 @functools.partial(jax.jit, static_argnames=("num_samples",))
 def finalize_device(sums: Array, num_samples: int) -> Array:
     """Device-side finalize: sums [...,4,3] -> u8 RGB [...,3] (see finalize)."""
@@ -178,7 +196,10 @@ class Renderer:
 
     def _band_rows(self, k: int) -> int:
         cfg = self.cfg
-        target = max(1, cfg.rays_per_pass // (cfg.width * 4 * k))
+        # The streaming engine uses one lane per (pixel, subpixel) whatever
+        # k is; the lockstep engine uses k lanes per subpixel.
+        lanes_per_row = cfg.width * 4 * (1 if cfg.engine == "regen" else k)
+        target = max(1, cfg.rays_per_pass // lanes_per_row)
         return _divisor_band(cfg.height, target)
 
     def plan_progressive(self, spp: int) -> tuple[int, int, int]:
@@ -214,11 +235,18 @@ class Renderer:
         Rays traced are accumulated (lazily, as device scalars) on
         ``self.ray_counts`` for Mrays/s accounting.
         """
-        sums, rays = render_band(
-            self.scene, self.pre, self.cfg,
-            jnp.int32(y0), rows, k, n_passes,
-            self._band_key(y0, salt),
-        )
+        if self.cfg.engine == "regen":
+            sums, rays = render_band_streaming(
+                self.scene, self.pre, self.cfg,
+                jnp.int32(y0), rows, jnp.int32(k * n_passes),
+                self._band_key(y0, salt),
+            )
+        else:
+            sums, rays = render_band(
+                self.scene, self.pre, self.cfg,
+                jnp.int32(y0), rows, k, n_passes,
+                self._band_key(y0, salt),
+            )
         self.ray_counts.append(rays)
         return sums
 

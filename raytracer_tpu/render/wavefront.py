@@ -1,0 +1,216 @@
+"""Streaming wavefront integrator — the production render path.
+
+The plain wavefront (`integrator.radiance`) marches every lane through the
+bounce loop in lockstep; with Russian roulette survival at 0.9
+(src/scene.rs:109-110) a closed scene keeps ~54% average lane occupancy
+over a 24-deep loop — half the VPU work is masked-out dead lanes.
+
+This module keeps occupancy high with *per-lane sample streaming*
+(persistent-threads path regeneration, re-designed for XLA's static
+shapes and the TPU's cost model):
+
+- one lane per (pixel, subpixel) slot; each lane renders its
+  ``num_samples`` paths back to back;
+- the moment a lane's path dies (miss, Russian roulette, dead BSDF
+  sample, depth cap) the lane generates its next sample's camera ray in
+  the same loop — no idle bounce iterations;
+- radiance accumulates into a per-lane register (``acc``) — there is NO
+  cross-lane communication at all: no prefix-sum allocation, no
+  scatter-add (a first global-regeneration design lost ~20% to exactly
+  those two ops on the VPU).
+
+Run length per lane is the sum of its k path lengths; by concentration
+the max over lanes stays close to the mean for k >= 8, so utilization is
+~85-95% vs the lockstep loop's ~54%.
+
+Every loop iteration traces one *main* ray per lane (camera ray for fresh
+paths, BSDF continuation otherwise — a single batched ``trace``) plus the
+NEE shadow ray.
+
+The estimator is IDENTICAL in distribution to ``integrator.radiance``
+(same NEE + RR + emission rules, same MIS toggle); only the scheduling
+changes.  `tests/test_wavefront.py` checks statistical agreement.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from raytracer_tpu.config import RenderConfig
+from raytracer_tpu.models import vecmath as vm
+from raytracer_tpu.models.camera import camera_rays
+from raytracer_tpu.models.scene import BRDF_SPECULAR, SceneArrays
+from raytracer_tpu.ops import brdf
+from raytracer_tpu.ops.intersect import ScenePre, trace, trace_t
+from raytracer_tpu.render.integrator import sample_light
+
+BIG = jnp.float32(1e30)
+
+
+def render_band_regen(
+    scene: SceneArrays,
+    pre: ScenePre,
+    cfg: RenderConfig,
+    y0: Array,  # scalar i32 first render-space row
+    rows: int,
+    num_samples: Array,  # scalar i32 samples per subpixel — DYNAMIC, so one
+    # compile per band shape serves every spp (jit compiles of the bounce
+    # loop run tens of seconds)
+    key: Array,
+) -> tuple[Array, Array]:
+    """Render a row band -> (sums [rows, W, 4, 3], rays-traced i32)."""
+    eps = cfg.eps
+    w = cfg.width
+    n_pix = rows * w
+    n = n_pix * 4  # one lane per (pixel, subpixel)
+    light_e = scene.obj_emitted[scene.light_idx]
+    num_samples = jnp.asarray(num_samples, jnp.int32)
+
+    # Static per-lane pixel/subpixel coordinates.
+    lane = jnp.arange(n, dtype=jnp.int32)
+    pix = lane // 4
+    sub = lane % 4
+    lane_px = (pix % w).astype(jnp.float32)
+    lane_py_off = (pix // w).astype(jnp.float32)
+    lane_sx = (sub % 2).astype(jnp.float32)
+    lane_sy = (sub // 2).astype(jnp.float32)
+
+    # Safety cap; RR terminates the while-loop far earlier in practice.
+    hard_cap = num_samples * (cfg.max_depth + 2) + 64
+
+    zero3 = jnp.zeros((n, 3))
+
+    def cond(st):
+        it, _rays, active, j, *_ = st
+        return (it < hard_cap) & jnp.any(active | (j < num_samples))
+
+    def body(st):
+        (it, rays, active, j, depth, ro, rd, L, beta, emis, pdf_prev, acc) = st
+        us = jax.random.uniform(jax.random.fold_in(key, it), (9, n))
+
+        # ---- 1) regenerate: idle lanes start their next sample ----
+        got = ~active & (j < num_samples)
+        cro, crd = camera_rays(
+            scene, cfg.width, cfg.height, cfg.fov_scale,
+            lane_px, y0.astype(jnp.float32) + lane_py_off,
+            lane_sx, lane_sy, us[0], us[1],
+        )
+        g3 = got[:, None]
+        ro = jnp.where(g3, cro, ro)
+        rd = jnp.where(g3, crd, rd)
+        depth = jnp.where(got, 0, depth)
+        L = jnp.where(g3, 0.0, L)
+        beta = jnp.where(g3, 1.0, beta)
+        # A camera ray collects its first vertex's emission at weight 1
+        # (Scene::received_radiance, src/scene.rs:152-159).
+        emis = jnp.where(g3, 1.0, emis)
+        pdf_prev = jnp.where(got, BIG, pdf_prev)  # delta => MIS weight 1
+        j = jnp.where(got, j + 1, j)
+        active = active | got
+
+        # ---- 2) main trace (camera + continuation rays together) ----
+        rays = rays + jnp.sum(active.astype(jnp.int32))
+        hit = trace(scene, pre, ro, rd, eps)
+        valid = active & hit.valid
+        done_miss = active & ~hit.valid
+
+        # ---- 3) arrival: collect emission through the bounce ----
+        em_next = scene.obj_emitted[hit.obj]
+        if cfg.use_mis:
+            hit_light = hit.obj == scene.light_idx
+            cos_yb = jnp.maximum(vm.dot(hit.n, -rd), 1e-8)
+            pdf_l_sa = (hit.t * hit.t) / (cos_yb * scene.light_area)
+            w_b = jnp.where(hit_light, pdf_prev / (pdf_prev + pdf_l_sa), 1.0)
+            L = jnp.where(valid[:, None], L + emis * em_next * w_b[:, None], L)
+        else:
+            L = jnp.where(valid[:, None], L + emis * em_next, L)
+
+        x = hit.pos
+        nrm = hit.n
+        obj = hit.obj
+        o = -rd
+        depth = jnp.where(active, depth + 1, depth)
+
+        # ---- 4) vertex shading: NEE + RR + BSDF sampling ----
+        mat = brdf.gather_mat(scene, obj)
+        is_spec = mat.brdf_type == BRDF_SPECULAR
+
+        y, ny, pdf_l = sample_light(scene, us[2], us[3], us[4])
+        to_y = y - x
+        dist = vm.length(to_y)
+        wi_d = to_y / jnp.maximum(dist, 1e-20)[:, None]
+        r2 = jnp.maximum(dist * dist, 1e-20)
+        nee_lanes = valid & ~is_spec
+        rays = rays + jnp.sum(nee_lanes.astype(jnp.int32))
+        sh_t, sh_valid = trace_t(scene, pre, x, wi_d, eps)
+        vis = (~sh_valid) | (sh_t + eps.visibility_margin >= dist)
+        f_d = brdf.eval_nonspecular(mat, nrm, o, wi_d)
+        cos_x = vm.dot(nrm, wi_d)
+        cos_y = vm.dot(ny, -wi_d)
+        if cfg.use_mis:
+            pdf_l_sa_d = pdf_l * r2 / jnp.maximum(cos_y, 1e-8)
+            pdf_b_at = brdf.pdf(mat, nrm, o, wi_d)
+            ok = vis & (cos_y > 0.0) & (cos_x > 0.0)
+            direct = jnp.where(
+                ok[:, None],
+                light_e[None, :] * f_d * (cos_x / (pdf_l_sa_d + pdf_b_at))[:, None],
+                0.0,
+            )
+        else:
+            scale = jnp.where(vis, 1.0, 0.0) * cos_x * cos_y / (r2 * pdf_l)
+            direct = light_e[None, :] * f_d * scale[:, None]
+        L = L + jnp.where(nee_lanes[:, None], beta * direct, 0.0)
+
+        p = jnp.where(depth <= cfg.rr_start_depth, 1.0, cfg.rr_survival)
+        cont = valid & (us[5] < p) & (depth < cfg.max_depth)
+        wi, pdf_b = brdf.sample(mat, nrm, o, us[6], us[7], us[8], cfg.fix_phong_frame)
+        f_c = brdf.eval_nonspecular(mat, nrm, o, wi)
+        cos_c = vm.dot(nrm, wi)
+        w_nonspec = jnp.where(
+            (pdf_b > 1e-12)[:, None],
+            f_c * (cos_c / jnp.maximum(pdf_b, 1e-12))[:, None],
+            0.0,
+        )
+        weight = jnp.where(is_spec[:, None], mat.c_s, w_nonspec) / p[:, None]
+        beta_next = beta * weight
+        live = cont & jnp.any(beta_next > 0.0, axis=-1)
+
+        # Next-arrival emission coefficient (see integrator.radiance):
+        # specular collects full emission (scaled only by 1/p); MIS lanes
+        # collect beta_next * balance-weight; plain NEE lanes collect none.
+        if cfg.use_mis:
+            emis = jnp.where(is_spec[:, None], beta / p[:, None], beta_next)
+            pdf_prev = jnp.where(is_spec, BIG, pdf_b)
+        else:
+            emis = jnp.where(is_spec[:, None], beta / p[:, None], 0.0)
+            pdf_prev = pdf_b
+
+        # ---- 5) completion: bank finished paths into the lane register ----
+        completed = done_miss | (valid & ~live)
+        acc = acc + jnp.where(completed[:, None], L, 0.0)
+
+        active = live
+        beta = beta_next
+        ro = jnp.where(live[:, None], x, ro)
+        rd = jnp.where(live[:, None], wi, rd)
+        return (it + 1, rays, active, j, depth, ro, rd, L, beta, emis, pdf_prev, acc)
+
+    st = (
+        jnp.int32(0),
+        jnp.int32(0),
+        jnp.zeros(n, bool),
+        jnp.zeros(n, jnp.int32),
+        jnp.zeros(n, jnp.int32),
+        zero3,
+        zero3,
+        zero3,
+        zero3,
+        zero3,
+        jnp.zeros(n),
+        zero3,
+    )
+    out = jax.lax.while_loop(cond, body, st)
+    rays, acc = out[1], out[11]
+    return acc.reshape(rows, w, 4, 3), rays

@@ -82,9 +82,20 @@ class RenderJob:
 
     PASSES_PER_DISPATCH = 8  # cancellation granularity at high spp
 
-    async def run(self, renderer: Renderer, spp: int, progressive: bool = False) -> bool:
-        """Render + stream; returns True if stopped before completion."""
+    def mark_running(self) -> None:
+        """Flip to running state synchronously, BEFORE the render task is
+        scheduled — otherwise a render message arriving between dispatch and
+        task startup would see running()==False and start a second render.
+        (The reference has this same race between tokio::spawn and
+        cancel_token.reset, src/server.rs:98-106,:164.)"""
         self.cancel_token.reset()
+
+    async def run(self, renderer: Renderer, spp: int, progressive: bool = False) -> bool:
+        """Render + stream; returns True if stopped before completion.
+
+        Callers must flip the job to running via ``mark_running()`` before
+        scheduling this coroutine (see above).
+        """
         cancelled = self.cancel_token.is_cancelled
         height = renderer.cfg.height
         loop = asyncio.get_running_loop()
@@ -226,6 +237,7 @@ class Server:
                         if not stopped:
                             log.info("[%s] Done rendering.", cid)
 
+                    job.mark_running()
                     asyncio.get_running_loop().create_task(run_render())
                 elif job.running() and mtype == "stop_rendering":
                     job.stop()

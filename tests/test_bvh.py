@@ -67,7 +67,7 @@ def test_bvh_matches_brute_force_nearest():
 
     t_bvh, idx_bvh = bvh_intersect(s, ro, rd, EPS)
     tt = ix.intersect_triangles(ro, rd, pre.tri, s.tri_valid, EPS)
-    t_brute = np.asarray(tt.min(axis=1))
+    t_brute = np.asarray(tt.min(axis=0))
     t_bvh = np.asarray(t_bvh)
 
     hit_b = t_brute < 1e30
@@ -91,9 +91,9 @@ def test_bvh_through_full_trace():
     rd = jnp.asarray(rd_np / np.linalg.norm(rd_np, axis=1, keepdims=True), jnp.float32)
     hit = ix.trace(s, pre, ro, rd, EPS)
     # compare against brute force triangle result + sphere
-    tt = np.asarray(ix.intersect_triangles(ro, rd, pre.tri, s.tri_valid, EPS).min(axis=1))
+    tt = np.asarray(ix.intersect_triangles(ro, rd, pre.tri, s.tri_valid, EPS).min(axis=0))
     ts = np.asarray(
-        ix.intersect_spheres(ro, rd, s.sph_pos, s.sph_r, s.sph_valid, EPS).min(axis=1)
+        ix.intersect_spheres(ro, rd, s.sph_pos, s.sph_r, s.sph_valid, EPS).min(axis=0)
     )
     t_ref = np.minimum(tt, ts)
     valid_ref = t_ref < 1e30

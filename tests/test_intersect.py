@@ -47,7 +47,7 @@ def test_sphere_miss_and_invalid():
     rd = jnp.asarray([[0.0, 0.0, -1.0]])
     t = ix.intersect_spheres(ro, rd, pos, r, valid, EPS)
     assert float(t[0, 0]) > INF / 10  # geometric miss
-    assert float(t[0, 1]) > INF / 10  # padded slot masked out
+    assert float(t[1, 0]) > INF / 10  # padded slot masked out
 
 
 def test_sphere_behind_ray_misses():
@@ -66,7 +66,7 @@ def test_plane_hit_t_and_parallel_cutoff():
     rd = jnp.asarray([[0.0, 0.0, -1.0]])
     t = ix.intersect_planes(ro, rd, pos, n, valid, EPS)
     np.testing.assert_allclose(t[0, 0], 5.0, rtol=1e-6)
-    assert float(t[0, 1]) > INF / 10  # parallel -> miss (|d.n| < 1e-4)
+    assert float(t[1, 0]) > INF / 10  # parallel -> miss (|d.n| < 1e-4)
 
 
 def test_plane_accepts_t_zero():

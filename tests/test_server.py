@@ -165,13 +165,14 @@ def test_render_while_running_is_ignored(server_port):
         import websockets
 
         async with websockets.connect(f"ws://127.0.0.1:{server_port}") as ws:
-            await ws.send(json.dumps({"type": "render", "scene": "cornell_box", "spp": 16}))
-            await asyncio.wait_for(ws.recv(), 120)
-            # second render while busy: ignored (reference dispatch table)
-            await ws.send(json.dumps({"type": "render", "scene": "cornell_box", "spp": 16}))
-            seen = 60  # the one chunk above
+            # two renders sent back to back: the second arrives while the
+            # first is still running and must be ignored (reference
+            # dispatch table, src/server.rs:93-113)
+            await ws.send(json.dumps({"type": "render", "scene": "cornell_box", "spp": 64}))
+            await ws.send(json.dumps({"type": "render", "scene": "cornell_box", "spp": 64}))
+            seen = 0
             while seen < W * H:
-                raw = await asyncio.wait_for(ws.recv(), 120)
+                raw = await asyncio.wait_for(ws.recv(), 300)
                 seen += parse_chunk(raw)[3].shape[0]
             # exactly one full frame arrives, not two
             try:
