@@ -83,6 +83,41 @@ class RenderConfig:
     seed: int = 0
 
 
+def config_from_toml(path: str) -> "RenderConfig":
+    """Build a RenderConfig from a TOML file.
+
+    The reference ships a ``config.toml`` (width/height/samples_per_pixel/
+    scene/use_mis/show_window) that NOTHING reads (README references a
+    commented-out config module; SURVEY §2 'Config file (vestigial)').
+    Here the same keys actually work; unknown keys are rejected.
+    """
+    import tomllib
+
+    with open(path, "rb") as fh:
+        doc = tomllib.load(fh)
+    known = {
+        "width": "width",
+        "height": "height",
+        "use_mis": "use_mis",
+        "max_bounces": "rr_start_depth",
+        "max_depth": "max_depth",
+        "survival_probability": "rr_survival",
+        "seed": "seed",
+        "engine": "engine",
+        # accepted for reference-compat but not config fields here:
+        "samples_per_pixel": None,  # spp comes per render request
+        "scene": None,  # scenes are all loaded at startup
+        "show_window": None,  # no native window path
+    }
+    kwargs = {}
+    for key, val in doc.items():
+        if key not in known:
+            raise ValueError(f"unknown config key {key!r} in {path}")
+        if known[key] is not None:
+            kwargs[known[key]] = val
+    return RenderConfig(**kwargs)
+
+
 DEFAULT_PORT = 8080  # reference: src/main.rs:16 (overridable via PORT env)
 SCENE_NAMES = ("cornell_box", "cubes", "flying_unicorn")  # src/main.rs:17
 

@@ -99,18 +99,23 @@ def build_bvh(tri_pts: np.ndarray, max_leaf: int = MAX_LEAF):
     return bvh, np.asarray(order, np.int64)
 
 
-def _tri_hit_scalar(ro, rd, a, b, c, eps: Epsilons):
-    """Scalar Moller-Trumbore t (reference semantics, src/geometry.rs:637-670)."""
+def _tri_hit_batch(ro, rd, a, b, c, eps: Epsilons):
+    """Batched Moller-Trumbore t [N] for per-lane triangles (reference
+    semantics, src/geometry.rs:637-670).  All inputs [N,3]."""
+
+    def dot(u, v):
+        return jnp.sum(u * v, axis=-1)
+
     e1 = b - a
     e2 = c - a
     ng = jnp.cross(e1, e2)
-    nn = jnp.maximum(jnp.dot(ng, ng), 1e-30)
-    n_unit = ng / jnp.sqrt(nn)
-    denom = jnp.dot(rd, n_unit)
-    t = jnp.dot(a - ro, n_unit) / denom
-    p = ro + t * rd
-    u = jnp.dot(p - a, jnp.cross(e2, ng)) / nn
-    v = jnp.dot(p - a, jnp.cross(ng, e1)) / nn
+    nn = jnp.maximum(dot(ng, ng), 1e-30)
+    n_unit = ng / jnp.sqrt(nn)[:, None]
+    denom = dot(rd, n_unit)
+    t = dot(a - ro, n_unit) / denom
+    p = ro + t[:, None] * rd
+    u = dot(p - a, jnp.cross(e2, ng)) / nn
+    v = dot(p - a, jnp.cross(ng, e1)) / nn
     ok = (
         (jnp.abs(denom) >= eps.tri_parallel)
         & (u >= 0.0)
@@ -122,8 +127,65 @@ def _tri_hit_scalar(ro, rd, a, b, c, eps: Epsilons):
     return jnp.where(ok, t, INF)
 
 
+BLOCK = 128  # rays per packet (one full vreg lane row)
+
+
+def _morton12(p: Array, lo: Array, hi: Array) -> Array:
+    """12-bit Morton code (4 bits/axis) of points p[N,3] within box [lo,hi]."""
+    q = jnp.clip((p - lo) / jnp.maximum(hi - lo, 1e-6) * 15.0, 0.0, 15.0).astype(jnp.int32)
+
+    def spread(v):  # 4 bits -> every 3rd bit
+        v = (v | (v << 4)) & 0x0C3
+        v = (v | (v << 2)) & 0x249
+        return v
+
+    return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+
+
+def _coherence_order(ro: Array, rd: Array, root_lo: Array, root_hi: Array, eps: Epsilons):
+    """Sort key grouping rays into coherent packets.
+
+    Primary key: whether the ray hits the mesh ROOT box at all — packets
+    made purely of missing rays terminate after ONE traversal step, so the
+    cull costs nothing extra.  Secondary: direction octant; tertiary:
+    12-bit Morton code of the origin.  Returns (order, inverse-order).
+    """
+    safe_d = jnp.where(jnp.abs(rd) < 1e-12, jnp.float32(1e-12), rd)
+    inv = 1.0 / safe_d
+    t0 = (root_lo[None, :] - ro) * inv
+    t1 = (root_hi[None, :] - ro) * inv
+    tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    miss = ((tnear > tfar) | (tfar <= eps.tri_tmin)).astype(jnp.int32)
+    octant = (
+        (rd[:, 0] < 0).astype(jnp.int32)
+        + 2 * (rd[:, 1] < 0).astype(jnp.int32)
+        + 4 * (rd[:, 2] < 0).astype(jnp.int32)
+    )
+    key = (miss << 30) | (octant << 13) | _morton12(ro, root_lo, root_hi)
+    order = jnp.argsort(key)
+    inverse = jnp.argsort(order)
+    return order, inverse
+
+
 def bvh_intersect(scene, ro: Array, rd: Array, eps: Epsilons):
-    """Nearest BVH-triangle hit per ray.
+    """Nearest BVH-triangle hit per ray via *packet traversal*.
+
+    TPU-shaped control flow: rays are grouped into packets of BLOCK lanes;
+    each packet shares ONE node pointer and walks the skip-link tree in
+    lockstep over packets.  Per iteration a packet gathers its node's data
+    (a handful of scalars — not per-lane gathers), slab-tests all BLOCK
+    rays densely, and descends if ANY ray hit the box (union traversal),
+    else jumps the skip link.  Leaf triangles are tested densely against
+    the whole packet.
+
+    Why this shape: a per-lane-pointer traversal makes every memory access
+    a gather and costs max-over-all-lanes iterations; packets make the hot
+    math dense [G, BLOCK] VPU work with per-packet scalar gathers, and
+    camera/shadow wavefronts are spatially coherent (consecutive lanes =
+    consecutive pixels) so packet unions stay small.  (The reference's
+    octree instead early-outs on the first leaf hit per ray,
+    src/geometry.rs:1237-1295 — a quirk, not reproduced: nearest wins.)
 
     Returns (t[N] f32 — INF on miss, tri_idx[N] i32 — GLOBAL triangle index
     into scene.tri_* arrays).
@@ -133,46 +195,98 @@ def bvh_intersect(scene, ro: Array, rd: Array, eps: Epsilons):
     n_nodes = lo.shape[0]
     base = scene.bvh_tri_start
     tri_a, tri_b, tri_c = scene.tri_a, scene.tri_b, scene.tri_c
+    t_max = tri_a.shape[0] - 1
 
-    def one_ray(o, d):
-        safe_d = jnp.where(jnp.abs(d) < 1e-12, jnp.float32(1e-12), d)
-        inv_d = 1.0 / safe_d
+    n = ro.shape[0]
+    # Coherence sort: root-box cull + (octant, origin-Morton) clustering
+    # keeps packet unions small for incoherent bounce wavefronts.
+    order, inverse = _coherence_order(ro, rd, lo[0], hi[0], eps)
+    ro = ro[order]
+    rd = rd[order]
 
-        def cond(state):
-            node, _, _ = state
-            return node < n_nodes
+    g = -(-n // BLOCK)
+    pad = g * BLOCK - n
+    if pad:
+        # Padded lanes get degenerate rays (d=0 -> inv huge -> slab miss).
+        ro = jnp.concatenate([ro, jnp.zeros((pad, 3))], axis=0)
+        rd = jnp.concatenate([rd, jnp.zeros((pad, 3))], axis=0)
+    rog = ro.reshape(g, BLOCK, 3)
+    rdg = rd.reshape(g, BLOCK, 3)
+    safe_d = jnp.where(jnp.abs(rdg) < 1e-12, jnp.float32(1e-12), rdg)
+    inv_d = 1.0 / safe_d
 
-        def body(state):
-            node, t_best, i_best = state
-            t0 = (lo[node] - o) * inv_d
-            t1 = (hi[node] - o) * inv_d
-            tnear = jnp.max(jnp.minimum(t0, t1))
-            tfar = jnp.min(jnp.maximum(t0, t1))
-            box_hit = (tnear <= tfar) & (tfar > eps.tri_tmin) & (tnear < t_best)
+    def cond(st):
+        node, _, _ = st
+        return jnp.any(node < n_nodes)
 
-            leaf_first = first[node]
-            leaf_count = count[node]
-            is_leaf_hit = box_hit & (leaf_count > 0)
+    def body(st):
+        node, t_best, i_best = st
+        live = node < n_nodes  # [G]
+        nc = jnp.minimum(node, n_nodes - 1)
 
-            def leaf_test(carry):
-                t_best, i_best = carry
-                for j in range(MAX_LEAF):
-                    idx = jnp.clip(base + leaf_first + j, 0, tri_a.shape[0] - 1)
-                    t = _tri_hit_scalar(o, d, tri_a[idx], tri_b[idx], tri_c[idx], eps)
-                    take = (j < leaf_count) & (t < t_best)
-                    t_best = jnp.where(take, t, t_best)
-                    i_best = jnp.where(take, idx, i_best)
-                return t_best, i_best
+        # Per-packet node AABB (scalar per packet, broadcast over lanes).
+        lo_g = lo[nc][:, None, :]  # [G,1,3]
+        hi_g = hi[nc][:, None, :]
+        t0 = (lo_g - rog) * inv_d  # [G,B,3]
+        t1 = (hi_g - rog) * inv_d
+        tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)  # [G,B]
+        tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        ray_hit = (tnear <= tfar) & (tfar > eps.tri_tmin) & (tnear < t_best)
+        box_any = live & jnp.any(ray_hit, axis=-1)  # [G]
 
-            t_best, i_best = jax.lax.cond(
-                is_leaf_hit, leaf_test, lambda c: c, (t_best, i_best)
-            )
-            node = jnp.where(box_hit, node + 1, skip[node])
-            return node, t_best, i_best
+        # Leaf: test MAX_LEAF triangles densely against the whole packet.
+        # Internal nodes have first=-1/count=0, so `j < count` masks all.
+        leaf_first = first[nc]
+        leaf_count = count[nc]
+        for j in range(MAX_LEAF):
+            idx = jnp.clip(base + leaf_first + j, 0, t_max)  # [G]
+            t = _tri_hit_packet(
+                rog, rdg, tri_a[idx], tri_b[idx], tri_c[idx], eps
+            )  # [G,B]
+            take = (box_any & (j < leaf_count))[:, None] & (t < t_best)
+            t_best = jnp.where(take, t, t_best)
+            i_best = jnp.where(take, idx[:, None], i_best)
 
-        _, t_best, i_best = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), INF, jnp.int32(0))
-        )
-        return t_best, i_best
+        node = jnp.where(live, jnp.where(box_any, node + 1, skip[nc]), node)
+        return node, t_best, i_best
 
-    return jax.vmap(one_ray)(ro, rd)
+    _, t_best, i_best = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.zeros(g, jnp.int32),
+            jnp.full((g, BLOCK), INF),
+            jnp.zeros((g, BLOCK), jnp.int32),
+        ),
+    )
+    # Undo the coherence sort.
+    return t_best.reshape(-1)[:n][inverse], i_best.reshape(-1)[:n][inverse]
+
+
+def _tri_hit_packet(ro, rd, a, b, c, eps: Epsilons):
+    """Moller-Trumbore t [G,B]: per-packet triangle (a,b,c [G,3]) against
+    per-packet ray blocks (ro, rd [G,B,3])."""
+
+    def dot_bb(u, v):  # [G,B,3].[G,B,3] -> [G,B]
+        return jnp.sum(u * v, axis=-1)
+
+    a = a[:, None, :]
+    e1 = b[:, None, :] - a
+    e2 = c[:, None, :] - a
+    ng = jnp.cross(e1, e2)  # [G,1,3]
+    nn = jnp.maximum(jnp.sum(ng * ng, axis=-1), 1e-30)  # [G,1]
+    n_unit = ng / jnp.sqrt(nn)[..., None]
+    denom = dot_bb(rd, n_unit)  # [G,B]
+    t = dot_bb(a - ro, n_unit) / denom
+    p = ro + t[..., None] * rd
+    u = dot_bb(p - a, jnp.cross(e2, ng)) / nn
+    v = dot_bb(p - a, jnp.cross(ng, e1)) / nn
+    ok = (
+        (jnp.abs(denom) >= eps.tri_parallel)
+        & (u >= 0.0)
+        & (u <= 1.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > eps.tri_tmin)
+    )
+    return jnp.where(ok, t, INF)

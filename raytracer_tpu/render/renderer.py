@@ -180,16 +180,23 @@ class Renderer:
     # --- scheduling -------------------------------------------------------
 
     def plan(self, spp: int) -> tuple[int, int, int]:
-        """(band_rows, k, n_passes) for a given spp.
+        """(band_rows, k, n_passes) for a given spp: a dispatch renders k
+        samples/subpixel; callers accumulate n_passes dispatches.
 
         num_samples = spp//4 per subpixel (reference integer split,
         src/server.rs:332).  k is a power of two; if k*n_passes overshoots
         num_samples the extra samples are *rendered and counted* (the
         estimate stays unbiased; all power-of-two spp are exact).
+
+        BVH scenes dispatch ONE sample at a time over smaller bands: mesh
+        traversal makes each bounce iteration orders of magnitude heavier,
+        and multi-minute dispatches trip the TPU worker watchdog.
         """
         num_samples = spp // 4
         if num_samples <= 0:
             return self._band_rows(1), 1, 0
+        if self.scene.use_bvh:
+            return max(1, self._band_rows(1) // 4), 1, num_samples
         k = min(self.K_MAX, _pow2_floor(num_samples))
         n_passes = -(-num_samples // k)
         return self._band_rows(k), k, n_passes
@@ -259,7 +266,14 @@ class Renderer:
         rows, k, n_passes = self.plan(spp)
         if n_passes == 0:
             return np.zeros((rows, self.cfg.width, 3), np.uint8), rows
-        sums = self.render_band_sums(y0, rows, k, n_passes)
+        if self.scene.use_bvh:
+            # One dispatch per k-sample chunk (device-side accumulation).
+            sums = None
+            for p in range(n_passes):
+                out = self.render_band_sums(y0, rows, k, 1, salt=p)
+                sums = out if sums is None else sums + out
+        else:
+            sums = self.render_band_sums(y0, rows, k, n_passes)
         img = finalize_device(sums, k * n_passes)
         return np.asarray(img), rows
 

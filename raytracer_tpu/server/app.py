@@ -141,7 +141,7 @@ class RenderJob:
             # Reference-style delivery: each pixel streamed exactly once,
             # spatially as its band completes all samples.
             rows_b, k, n_passes = renderer.plan(spp)
-            g = self.PASSES_PER_DISPATCH
+            g = 1 if renderer.scene.use_bvh else self.PASSES_PER_DISPATCH
             for y0, rows in renderer.iter_bands(spp, rows_b):
                 if cancelled():
                     break
