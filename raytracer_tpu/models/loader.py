@@ -193,7 +193,10 @@ def load_scene_dict(
             axis=1,
         )  # [F,3,3]
         bvh, order = build_bvh(tri_pts)
-        triangles = brute_tris + [mesh_tris[j] for j in order]
+        degenerate = dict(a=np.zeros(3), b=np.zeros(3), c=np.zeros(3), obj=0, valid=False)
+        triangles = brute_tris + [
+            mesh_tris[j] if j >= 0 else degenerate for j in order
+        ]
 
     return build_scene_arrays(
         name=name,

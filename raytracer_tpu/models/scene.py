@@ -99,6 +99,9 @@ class SceneArrays:
     bvh_skip: jnp.ndarray  # [Nn] i32 escape index (next node on miss)
     bvh_first: jnp.ndarray  # [Nn] i32 first triangle (leaves), -1 internal
     bvh_count: jnp.ndarray  # [Nn] i32 leaf triangle count (0 internal)
+    # VMEM-packed forms for the Pallas traversal kernel (ops/pallas).
+    bvh_nodes_packed: jnp.ndarray  # [NR,16,128] f32
+    bvh_tris_packed: jnp.ndarray  # [TR,48,128] f32
 
     # --- Static metadata ---
     name: str = struct.field(pytree_node=False, default="")
@@ -159,6 +162,11 @@ def build_scene_arrays(
         m[:n_real] = True
         return m
 
+    tri_mask = mask(nt, T)
+    # Leaf-alignment padding inside the batch (BVH leaves are padded to a
+    # fixed group size with degenerate triangles, marked valid=False).
+    tri_mask[:nt] &= np.asarray([t.get("valid", True) for t in triangles], bool)
+
     no = len(materials)
     obj_emitted = np.asarray([m["emitted"] for m in materials], f).reshape(no, 3)
     brdf_type = np.asarray([m["brdf_type"] for m in materials], np.int32)
@@ -204,11 +212,25 @@ def build_scene_arrays(
         raise ValueError(f"light object {light_idx} in {name!r} has unsupported geometry")
 
     if bvh is not None:
+        from raytracer_tpu.ops.bvh import pack_for_pallas
+
         bvh_lo, bvh_hi, bvh_skip, bvh_first, bvh_count = bvh
+        tail = triangles[bvh_tri_start:]
+        tri_pts_ordered = np.stack(
+            [
+                np.stack([t["a"] for t in tail]),
+                np.stack([t["b"] for t in tail]),
+                np.stack([t["c"] for t in tail]),
+            ],
+            axis=1,
+        )
+        nodes_packed, tris_packed = pack_for_pallas(bvh, tri_pts_ordered)
     else:
         z3 = np.zeros((0, 3), f)
         zi = np.zeros((0,), np.int32)
         bvh_lo, bvh_hi, bvh_skip, bvh_first, bvh_count = z3, z3, zi, zi, zi
+        nodes_packed = np.zeros((0, 16, 128), f)
+        tris_packed = np.zeros((0, 48, 128), f)
 
     return SceneArrays(
         sph_pos=jnp.asarray(sph_pos),
@@ -223,7 +245,7 @@ def build_scene_arrays(
         tri_b=jnp.asarray(tri_b),
         tri_c=jnp.asarray(tri_c),
         tri_obj=jnp.asarray(tri_obj),
-        tri_valid=jnp.asarray(mask(nt, T)),
+        tri_valid=jnp.asarray(tri_mask),
         obj_emitted=jnp.asarray(obj_emitted),
         brdf_type=jnp.asarray(brdf_type),
         c_d=jnp.asarray(c_d),
@@ -243,6 +265,8 @@ def build_scene_arrays(
         bvh_skip=jnp.asarray(bvh_skip),
         bvh_first=jnp.asarray(bvh_first),
         bvh_count=jnp.asarray(bvh_count),
+        bvh_nodes_packed=jnp.asarray(nodes_packed),
+        bvh_tris_packed=jnp.asarray(tris_packed),
         name=name,
         light_idx=light_idx,
         light_type=light_type,

@@ -39,9 +39,11 @@ def build_bvh(tri_pts: np.ndarray, max_leaf: int = MAX_LEAF):
 
     Returns:
       ((lo[Nn,3] f32, hi[Nn,3] f32, skip[Nn] i32, first[Nn] i32,
-        count[Nn] i32), order[F] i64)
-      where ``order`` is the leaf-contiguous permutation of input triangles;
-      ``first`` indexes into the *reordered* triangle batch.
+        count[Nn] i32), order[F'] i64)
+      where ``order`` lists input-triangle ids in leaf-contiguous layout,
+      padded with -1 so every leaf occupies exactly ``max_leaf`` aligned
+      slots (the Pallas traversal fetches a whole leaf group with one
+      dynamic read); ``first`` indexes into that padded layout.
     """
     n_tris = tri_pts.shape[0]
     centroids = tri_pts.mean(axis=1)
@@ -75,6 +77,7 @@ def build_bvh(tri_pts: np.ndarray, max_leaf: int = MAX_LEAF):
             firsts[my] = len(order)
             counts[my] = len(idx)
             order.extend(idx.tolist())
+            order.extend([-1] * (max_leaf - len(idx)))  # align leaf groups
         else:
             cen = centroids[idx]
             axis = int(np.argmax(cen.max(axis=0) - cen.min(axis=0)))
@@ -97,6 +100,67 @@ def build_bvh(tri_pts: np.ndarray, max_leaf: int = MAX_LEAF):
         np.asarray(counts, np.int32),
     )
     return bvh, np.asarray(order, np.int64)
+
+
+def pack_for_pallas(
+    bvh, tri_pts_ordered: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pack BVH + leaf triangles into the Pallas kernel's VMEM layouts.
+
+    Node i lives at nodes[i//128, :, i%128] with 9 f32 sublane fields
+    [lo.xyz, hi.xyz, skip, first, count] (ints exact in f32 below 2^24).
+    Leaf group g (triangles 4g..4g+3 of the ordered+padded layout) lives at
+    tris[g//128, :, g%128] with 4x12 sublane fields per triangle:
+    [n_unit.xyz, n_d, q1.xyz, q1_a, q2.xyz, q2_a] — the same
+    barycentric-gradient precomputation as ops.intersect.tri_precompute.
+
+    Args:
+      bvh: (lo, hi, skip, first, count) from build_bvh.
+      tri_pts_ordered: [F',3,3] f64 triangle vertices in the ordered+padded
+        (leaf-aligned) layout; padding slots may be all-zero (degenerate).
+    """
+    lo, hi, skip, first, count = bvh
+    n_nodes = lo.shape[0]
+    nr = -(-n_nodes // 128)
+    nodes = np.zeros((nr, 16, 128), np.float32)
+    flat = np.concatenate(
+        [lo, hi, skip[:, None].astype(np.float32), first[:, None].astype(np.float32),
+         count[:, None].astype(np.float32)],
+        axis=1,
+    )  # [Nn, 9]
+    pad_nodes = np.zeros((nr * 128, 9), np.float32)
+    pad_nodes[:n_nodes] = flat
+    nodes[:, :9, :] = pad_nodes.reshape(nr, 128, 9).transpose(0, 2, 1)
+
+    a = tri_pts_ordered[:, 0].astype(np.float64)
+    b = tri_pts_ordered[:, 1].astype(np.float64)
+    c = tri_pts_ordered[:, 2].astype(np.float64)
+    e1, e2 = b - a, c - a
+    ng = np.cross(e1, e2)
+    nn = np.maximum((ng * ng).sum(1), 1e-30)
+    n_unit = ng / np.sqrt(nn)[:, None]
+    q1 = np.cross(e2, ng) / nn[:, None]
+    q2 = np.cross(ng, e1) / nn[:, None]
+    fields = np.concatenate(
+        [
+            n_unit,
+            (a * n_unit).sum(1)[:, None],
+            q1,
+            (a * q1).sum(1)[:, None],
+            q2,
+            (a * q2).sum(1)[:, None],
+        ],
+        axis=1,
+    ).astype(np.float32)  # [F',12]
+    n_groups = tri_pts_ordered.shape[0] // MAX_LEAF
+    tr = -(-n_groups // 128)
+    pad_tris = np.zeros((tr * 128 * MAX_LEAF, 12), np.float32)
+    pad_tris[: fields.shape[0]] = fields
+    # [TR*128 groups, 4 tris, 12 fields] -> [TR, 48, 128]
+    tris = (
+        pad_tris.reshape(tr, 128, MAX_LEAF * 12).transpose(0, 2, 1).astype(np.float32)
+    )
+    return nodes, tris
 
 
 def _tri_hit_batch(ro, rd, a, b, c, eps: Epsilons):

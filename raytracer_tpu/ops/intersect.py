@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 from jax import Array
@@ -144,6 +145,16 @@ def intersect_triangles(
     return jnp.where(ok, t, INF)
 
 
+def use_pallas_bvh() -> bool:
+    """Mesh traversal backend choice: the Pallas kernel on real TPUs, the
+    XLA packet traversal elsewhere (and under RT_NO_PALLAS=1)."""
+    import os
+
+    if os.environ.get("RT_NO_PALLAS"):
+        return False
+    return jax.default_backend() == "tpu"
+
+
 class ScenePre(NamedTuple):
     """Loop-invariant precomputed intersection data for a scene."""
 
@@ -175,8 +186,6 @@ def _group_ts(scene: SceneArrays, pre: ScenePre, ro: Array, rd: Array, eps: Epsi
     if scene.n_triangles == 0:
         tt_best, tt_arg = inf, zero
     elif scene.use_bvh:
-        from raytracer_tpu.ops.bvh import bvh_intersect
-
         # Brute-force prefix (cube/prism tris) + BVH over the mesh tail.
         k = scene.bvh_tri_start
         if k > 0:
@@ -186,7 +195,14 @@ def _group_ts(scene: SceneArrays, pre: ScenePre, ro: Array, rd: Array, eps: Epsi
             tt_arg = jnp.argmin(tt, axis=0).astype(jnp.int32)
         else:
             tt_best, tt_arg = inf, zero
-        bt, bidx = bvh_intersect(scene, ro, rd, eps)
+        if use_pallas_bvh():
+            from raytracer_tpu.ops.pallas.bvh_kernel import bvh_intersect_pallas
+
+            bt, bidx = bvh_intersect_pallas(scene, ro, rd, eps)
+        else:
+            from raytracer_tpu.ops.bvh import bvh_intersect
+
+            bt, bidx = bvh_intersect(scene, ro, rd, eps)
         use_b = bt < tt_best
         tt_best = jnp.where(use_b, bt, tt_best)
         tt_arg = jnp.where(use_b, bidx, tt_arg)

@@ -22,14 +22,18 @@ def test_build_invariants():
     tris = random_tri_soup(500)
     (lo, hi, skip, first, count), order = build_bvh(tris)
     n = lo.shape[0]
-    assert sorted(order.tolist()) == list(range(500))  # permutation
+    # order = permutation of input ids, padded to aligned leaf groups with -1
+    real = [i for i in order.tolist() if i >= 0]
+    assert sorted(real) == list(range(500))
+    assert len(order) % 4 == 0
     assert (lo <= hi).all()
     assert (skip > np.arange(n)).all() and (skip <= n).all()
-    # leaves cover all triangles exactly once, contiguously
+    # leaves cover all real triangles exactly once, at aligned offsets
     leaves = count > 0
+    assert (first[leaves] % 4 == 0).all()
     covered = []
     for f, c in zip(first[leaves], count[leaves]):
-        covered.extend(range(f, f + c))
+        covered.extend(order[f : f + c].tolist())
     assert sorted(covered) == list(range(500))
     # root box encloses everything
     np.testing.assert_allclose(lo[0], tris.reshape(-1, 3).min(axis=0).astype(np.float32), rtol=1e-6)
@@ -41,8 +45,11 @@ def _scene_with_mesh_bvh(tris):
     from raytracer_tpu.models.scene import build_scene_arrays
 
     bvh, order = build_bvh(tris)
-    tris = tris[order]
-    triangles = [dict(a=t[0], b=t[1], c=t[2], obj=0) for t in tris]
+    tris = np.where(order[:, None, None] >= 0, tris[np.maximum(order, 0)], 0.0)
+    triangles = [
+        dict(a=t[0], b=t[1], c=t[2], obj=0, valid=bool(o >= 0))
+        for t, o in zip(tris, order)
+    ]
     mats = [
         dict(emitted=[0, 0, 0], brdf_type=0, c_d=[1, 1, 1], c_s=[0, 0, 0], k_d=1, k_s=0, power=0),
         dict(emitted=[1, 1, 1], brdf_type=0, c_d=[0, 0, 0], c_s=[0, 0, 0], k_d=1, k_s=0, power=0),

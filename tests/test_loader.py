@@ -63,7 +63,10 @@ def test_cubes_rotated_cubes():
 
 def test_flying_unicorn_mesh_and_bvh():
     s = load_scene(os.path.join(SCENES, "flying_unicorn.toml"))
-    assert s.n_triangles == 37380  # golden count from the OBJ
+    # golden count from the OBJ: 37,380 real triangles (the batch also
+    # contains degenerate BVH leaf-alignment padding, marked invalid)
+    assert int(np.asarray(s.tri_valid).sum()) == 37380
+    assert s.n_triangles % 4 == 0
     assert s.use_bvh
     assert s.bvh_tri_start == 0  # no cube/prism objects in this scene
     assert s.bvh_lo.shape[0] > 1000

@@ -1,0 +1,85 @@
+"""Pallas BVH traversal kernel: parity with the XLA packet traversal
+(interpret mode on CPU) and packing-layout invariants."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from raytracer_tpu.config import Epsilons
+from raytracer_tpu.ops import intersect as ix
+from raytracer_tpu.ops.bvh import MAX_LEAF, build_bvh, bvh_intersect, pack_for_pallas
+from raytracer_tpu.ops.pallas.bvh_kernel import bvh_intersect_pallas
+
+from tests.test_bvh import _scene_with_mesh_bvh, random_tri_soup
+
+EPS = Epsilons()
+
+
+def test_pack_layout_roundtrip():
+    tris = random_tri_soup(100, seed=5)
+    bvh, order = build_bvh(tris)
+    lo, hi, skip, first, count = bvh
+    padded = np.where(order[:, None, None] >= 0, tris[np.maximum(order, 0)], 0.0)
+    nodes, packed_tris = pack_for_pallas(bvh, padded)
+    n_nodes = lo.shape[0]
+    # node i fields live at [i//128, f, i%128]
+    for i in (0, 1, n_nodes - 1):
+        got = nodes[i // 128, :9, i % 128]
+        np.testing.assert_allclose(got[:3], lo[i], rtol=1e-6)
+        np.testing.assert_allclose(got[3:6], hi[i], rtol=1e-6)
+        assert int(got[6]) == skip[i]
+        assert int(got[7]) == first[i]
+        assert int(got[8]) == count[i]
+    # leaf alignment: every leaf's first is a multiple of MAX_LEAF
+    leaves = count > 0
+    assert (first[leaves] % MAX_LEAF == 0).all()
+    assert len(order) % MAX_LEAF == 0
+
+
+def test_pallas_matches_xla_traversal_interpret():
+    tris = random_tri_soup(200, seed=6)
+    s = _scene_with_mesh_bvh(tris)
+    rng = np.random.default_rng(7)
+    n = 300  # deliberately not a multiple of the packet size
+    ro = jnp.asarray(rng.uniform(-12, 12, (n, 3)), jnp.float32)
+    d = rng.normal(size=(n, 3))
+    rd = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+
+    t_ref, i_ref = bvh_intersect(s, ro, rd, EPS)
+    t_pl, i_pl = bvh_intersect_pallas(s, ro, rd, EPS, interpret=True)
+
+    t_ref, t_pl = np.asarray(t_ref), np.asarray(t_pl)
+    hit_ref = t_ref < 1e30
+    hit_pl = t_pl < 1e30
+    np.testing.assert_array_equal(hit_ref, hit_pl)
+    np.testing.assert_allclose(t_pl[hit_pl], t_ref[hit_ref], rtol=3e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(i_pl)[hit_pl], np.asarray(i_ref)[hit_ref])
+
+
+def test_pallas_through_full_trace_interpret(monkeypatch):
+    tris = random_tri_soup(80, seed=8)
+    s = _scene_with_mesh_bvh(tris)
+    pre = ix.scene_precompute(s)
+    rng = np.random.default_rng(9)
+    ro = jnp.asarray(rng.uniform(-12, 12, (64, 3)), jnp.float32)
+    d = rng.normal(size=(64, 3))
+    rd = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+
+    hit_xla = ix.trace(s, pre, ro, rd, EPS)
+
+    import raytracer_tpu.ops.pallas.bvh_kernel as bk
+
+    orig = bk.bvh_intersect_pallas
+    monkeypatch.setattr(
+        bk, "bvh_intersect_pallas",
+        lambda scene, ro, rd, eps: orig(scene, ro, rd, eps, interpret=True),
+    )
+    monkeypatch.setattr(ix, "use_pallas_bvh", lambda: True)
+    hit_pl = ix.trace(s, pre, ro, rd, EPS)
+
+    np.testing.assert_array_equal(np.asarray(hit_xla.valid), np.asarray(hit_pl.valid))
+    m = np.asarray(hit_xla.valid)
+    np.testing.assert_allclose(
+        np.asarray(hit_pl.t)[m], np.asarray(hit_xla.t)[m], rtol=3e-4, atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(hit_pl.obj)[m], np.asarray(hit_xla.obj)[m])
