@@ -174,7 +174,7 @@ class Renderer:
         self.scene = scene
         self.cfg = cfg or RenderConfig()
         self.pre = scene_precompute(scene)
-        self._base_key = jax.random.key(self.cfg.seed)
+        self._base_key = jax.random.key(self.cfg.seed, impl=self.cfg.rng_impl)
         self.ray_counts: list = []
 
     # --- scheduling -------------------------------------------------------
