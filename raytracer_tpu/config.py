@@ -72,6 +72,9 @@ class RenderConfig:
     # on v5e (cornell 256spp sweep): ~120K-lane bands outperform both
     # smaller (dispatch overhead) and larger (cache/VMEM pressure) ones.
     rays_per_pass: int = 1 << 17
+    # Mesh (BVH) scenes amortize their much heavier per-dispatch cost over
+    # bigger bands (v5e sweep: 2^20 beat 2^17 by ~30% on flying_unicorn).
+    mesh_rays_per_pass: int = 1 << 20
 
     # Integrator scheduling: "regen" = regenerating wavefront (dead lanes
     # immediately claim fresh camera samples, ~2x occupancy; production

@@ -11,11 +11,15 @@ recursion do not map to XLA, so the TPU design is:
   on AABB hit continue to ``i+1``, on miss jump to ``skip[i]``.  Leaves
   own a contiguous, reordered triangle range, so leaf tests are dense.
 
-- **Traverse (device, jnp):** a ``lax.while_loop`` per ray, vmapped over
-  the wavefront.  Lanes run in lockstep until all finish; cost is the max
-  node-path length in the batch.  Nearest-hit semantics (the octree's
-  first-leaf early-out quirk is deliberately NOT reproduced — SURVEY §5
-  classifies it as a bug to fix).
+- **Traverse (device):** coherent ray *packets* share one node pointer and
+  walk the skip-link tree in lockstep over packets (see ``bvh_intersect``),
+  after a root-cull + octant/Morton coherence sort.  On real TPUs the
+  traversal instead runs inside a single Pallas kernel with the whole tree
+  in VMEM (ops/pallas/bvh_kernel.py; ``pack_for_pallas`` below builds its
+  table layouts) — the XLA path remains the CPU/test oracle.
+
+Nearest-hit semantics throughout (the octree's first-leaf early-out quirk
+is deliberately NOT reproduced — SURVEY §5 classifies it as a bug to fix).
 """
 
 from __future__ import annotations
@@ -163,34 +167,6 @@ def pack_for_pallas(
     return nodes, tris
 
 
-def _tri_hit_batch(ro, rd, a, b, c, eps: Epsilons):
-    """Batched Moller-Trumbore t [N] for per-lane triangles (reference
-    semantics, src/geometry.rs:637-670).  All inputs [N,3]."""
-
-    def dot(u, v):
-        return jnp.sum(u * v, axis=-1)
-
-    e1 = b - a
-    e2 = c - a
-    ng = jnp.cross(e1, e2)
-    nn = jnp.maximum(dot(ng, ng), 1e-30)
-    n_unit = ng / jnp.sqrt(nn)[:, None]
-    denom = dot(rd, n_unit)
-    t = dot(a - ro, n_unit) / denom
-    p = ro + t[:, None] * rd
-    u = dot(p - a, jnp.cross(e2, ng)) / nn
-    v = dot(p - a, jnp.cross(ng, e1)) / nn
-    ok = (
-        (jnp.abs(denom) >= eps.tri_parallel)
-        & (u >= 0.0)
-        & (u <= 1.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
-        & (t > eps.tri_tmin)
-    )
-    return jnp.where(ok, t, INF)
-
-
 BLOCK = 128  # rays per packet (one full vreg lane row)
 
 
@@ -232,8 +208,14 @@ def _coherence_order(ro: Array, rd: Array, root_lo: Array, root_hi: Array, eps: 
     return order, inverse
 
 
-def bvh_intersect(scene, ro: Array, rd: Array, eps: Epsilons):
+def bvh_intersect(scene, ro: Array, rd: Array, eps: Epsilons, t_init: Array | None = None):
     """Nearest BVH-triangle hit per ray via *packet traversal*.
+
+    ``t_init`` (optional, [N]) upper-bounds the search per ray: nodes and
+    triangles beyond it are pruned.  Callers seed it with the nearest
+    sphere/plane hit (main rays) or the light distance (shadow rays) —
+    hits at or beyond t_init may be dropped, which those callers don't
+    care about.
 
     TPU-shaped control flow: rays are grouped into packets of BLOCK lanes;
     each packet shares ONE node pointer and walks the skip-link tree in
@@ -262,11 +244,14 @@ def bvh_intersect(scene, ro: Array, rd: Array, eps: Epsilons):
     t_max = tri_a.shape[0] - 1
 
     n = ro.shape[0]
+    if t_init is None:
+        t_init = jnp.full((n,), INF)
     # Coherence sort: root-box cull + (octant, origin-Morton) clustering
     # keeps packet unions small for incoherent bounce wavefronts.
     order, inverse = _coherence_order(ro, rd, lo[0], hi[0], eps)
     ro = ro[order]
     rd = rd[order]
+    t_init = t_init[order]
 
     g = -(-n // BLOCK)
     pad = g * BLOCK - n
@@ -274,8 +259,10 @@ def bvh_intersect(scene, ro: Array, rd: Array, eps: Epsilons):
         # Padded lanes get degenerate rays (d=0 -> inv huge -> slab miss).
         ro = jnp.concatenate([ro, jnp.zeros((pad, 3))], axis=0)
         rd = jnp.concatenate([rd, jnp.zeros((pad, 3))], axis=0)
+        t_init = jnp.concatenate([t_init, jnp.zeros((pad,))], axis=0)
     rog = ro.reshape(g, BLOCK, 3)
     rdg = rd.reshape(g, BLOCK, 3)
+    t_init_g = t_init.reshape(g, BLOCK)
     safe_d = jnp.where(jnp.abs(rdg) < 1e-12, jnp.float32(1e-12), rdg)
     inv_d = 1.0 / safe_d
 
@@ -319,11 +306,11 @@ def bvh_intersect(scene, ro: Array, rd: Array, eps: Epsilons):
         body,
         (
             jnp.zeros(g, jnp.int32),
-            jnp.full((g, BLOCK), INF),
+            t_init_g,
             jnp.zeros((g, BLOCK), jnp.int32),
         ),
     )
-    # Undo the coherence sort.
+    # Undo the coherence sort.  Lanes still at t_init found no closer hit.
     return t_best.reshape(-1)[:n][inverse], i_best.reshape(-1)[:n][inverse]
 
 

@@ -165,8 +165,20 @@ def scene_precompute(scene: SceneArrays) -> ScenePre:
     return ScenePre(tri=tri_precompute(scene.tri_a, scene.tri_b, scene.tri_c))
 
 
-def _group_ts(scene: SceneArrays, pre: ScenePre, ro: Array, rd: Array, eps: Epsilons):
-    """Per-group (nearest t [N], argmin [N]) with empty groups compiled out."""
+def _group_ts(
+    scene: SceneArrays,
+    pre: ScenePre,
+    ro: Array,
+    rd: Array,
+    eps: Epsilons,
+    t_cap: Array | None = None,
+):
+    """Per-group (nearest t [N], argmin [N]) with empty groups compiled out.
+
+    ``t_cap`` optionally bounds the search (hits at/beyond it may be
+    dropped) — only the BVH honors it today (mesh traversal is the only
+    path where pruning pays).
+    """
     n_rays = ro.shape[0]
     inf = jnp.full((n_rays,), INF)
     zero = jnp.zeros((n_rays,), jnp.int32)
@@ -195,14 +207,21 @@ def _group_ts(scene: SceneArrays, pre: ScenePre, ro: Array, rd: Array, eps: Epsi
             tt_arg = jnp.argmin(tt, axis=0).astype(jnp.int32)
         else:
             tt_best, tt_arg = inf, zero
+        # Seed traversal with everything already known to be closer: the
+        # nearest sphere/plane/prefix hit (ties resolve to the lower group
+        # index downstream, so an un-improved seed never wins) and the
+        # caller's cap.
+        t_init = jnp.minimum(jnp.minimum(ts_best, tp_best), tt_best)
+        if t_cap is not None:
+            t_init = jnp.minimum(t_init, t_cap)
         if use_pallas_bvh():
             from raytracer_tpu.ops.pallas.bvh_kernel import bvh_intersect_pallas
 
-            bt, bidx = bvh_intersect_pallas(scene, ro, rd, eps)
+            bt, bidx = bvh_intersect_pallas(scene, ro, rd, eps, t_init=t_init)
         else:
             from raytracer_tpu.ops.bvh import bvh_intersect
 
-            bt, bidx = bvh_intersect(scene, ro, rd, eps)
+            bt, bidx = bvh_intersect(scene, ro, rd, eps, t_init=t_init)
         use_b = bt < tt_best
         tt_best = jnp.where(use_b, bt, tt_best)
         tt_arg = jnp.where(use_b, bidx, tt_arg)
@@ -214,14 +233,25 @@ def _group_ts(scene: SceneArrays, pre: ScenePre, ro: Array, rd: Array, eps: Epsi
     return (ts_best, ts_arg), (tp_best, tp_arg), (tt_best, tt_arg)
 
 
-def trace_t(scene: SceneArrays, pre: ScenePre, ro: Array, rd: Array, eps: Epsilons):
+def trace_t(
+    scene: SceneArrays,
+    pre: ScenePre,
+    ro: Array,
+    rd: Array,
+    eps: Epsilons,
+    t_max: Array | None = None,
+):
     """Nearest-hit distance only -> (t [N], valid [N]).
 
     The visibility/shadow test (Scene::mutually_visible, src/scene.rs:258-270)
     needs just the distance — skipping the winner's attribute gathers and
-    normal math saves a chunk of the per-bounce cost.
+    normal math saves a chunk of the per-bounce cost.  With ``t_max`` the
+    mesh search is pruned at the target distance: hits beyond it may be
+    dropped (the returned t can equal t_max), which visibility tests of the
+    form ``t + margin >= dist`` cannot distinguish from a miss — exactly
+    what they want.
     """
-    (ts, _), (tp, _), (tt, _) = _group_ts(scene, pre, ro, rd, eps)
+    (ts, _), (tp, _), (tt, _) = _group_ts(scene, pre, ro, rd, eps, t_cap=t_max)
     t = jnp.minimum(jnp.minimum(ts, tp), tt)
     return t, t < INF
 

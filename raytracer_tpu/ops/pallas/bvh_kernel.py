@@ -37,7 +37,7 @@ INF = 3.0e38  # python float: jnp constants captured by the kernel are rejected
 
 
 def _traverse_kernel(
-    rays_ref,  # [1,6,8,128] ro.xyz, rd.xyz
+    rays_ref,  # [1,7,8,128] ro.xyz, rd.xyz, t_init
     nodes_ref,  # [NR,16,128]
     tris_ref,  # [TR,48,128]
     t_ref,  # [1,8,128] out
@@ -50,6 +50,7 @@ def _traverse_kernel(
 ):
     ro = [rays_ref[0, k] for k in range(3)]  # 3 x [8,128]
     rd = [rays_ref[0, 3 + k] for k in range(3)]
+    t_init = rays_ref[0, 6]  # per-ray search bound (INF when unbounded)
     inv = [
         1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.float32(1e-12), d) for d in rd
     ]
@@ -131,7 +132,7 @@ def _traverse_kernel(
         body,
         (
             jnp.int32(0),
-            jnp.full((8, 128), INF),
+            t_init,
             jnp.zeros((8, 128), jnp.int32),
         ),
     )
@@ -144,7 +145,7 @@ def _traverse_kernel(
     static_argnames=("n_nodes", "base", "tri_tmin", "tri_parallel", "interpret"),
 )
 def bvh_intersect_pallas_raw(
-    rays: Array,  # [G,6,8,128]
+    rays: Array,  # [G,7,8,128]
     nodes: Array,  # [NR,16,128]
     tris: Array,  # [TR,48,128]
     n_nodes: int,
@@ -165,7 +166,7 @@ def bvh_intersect_pallas_raw(
         kernel,
         grid=(g,),
         in_specs=[
-            pl.BlockSpec((1, 6, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 7, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(nodes.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(tris.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -181,29 +182,38 @@ def bvh_intersect_pallas_raw(
     )(rays, nodes, tris)
 
 
-def bvh_intersect_pallas(scene, ro: Array, rd: Array, eps: Epsilons, interpret: bool = False):
+def bvh_intersect_pallas(
+    scene, ro: Array, rd: Array, eps: Epsilons,
+    t_init: Array | None = None, interpret: bool = False,
+):
     """Nearest BVH hit via the Pallas kernel -> (t[N], global tri idx[N]).
 
     Applies the same root-cull + coherence sort as the XLA path, reshapes
-    rays into [G,6,8,128] packets, and unsorts the results.
+    rays into [G,7,8,128] packets (7th field = per-ray t bound; see
+    ops.bvh.bvh_intersect for the pruning contract), and unsorts the
+    results.
     """
     from raytracer_tpu.ops.bvh import _coherence_order
 
     n = ro.shape[0]
+    if t_init is None:
+        t_init = jnp.full((n,), INF, jnp.float32)
     order, inverse = _coherence_order(
         ro, rd, scene.bvh_lo[0], scene.bvh_hi[0], eps
     )
     ro = ro[order]
     rd = rd[order]
+    t_init = t_init[order]
 
     g = -(-n // PACKET)
     pad = g * PACKET - n
     if pad:
         ro = jnp.concatenate([ro, jnp.zeros((pad, 3))], axis=0)
         rd = jnp.concatenate([rd, jnp.zeros((pad, 3))], axis=0)
-    # [N,3] -> [G,6,8,128]
-    rays = jnp.concatenate([ro, rd], axis=1)  # [N,6]
-    rays = rays.reshape(g, 8, 128, 6).transpose(0, 3, 1, 2)
+        t_init = jnp.concatenate([t_init, jnp.zeros((pad,))], axis=0)
+    # [N,3]x2 + [N] -> [G,7,8,128]
+    rays = jnp.concatenate([ro, rd, t_init[:, None]], axis=1)  # [N,7]
+    rays = rays.reshape(g, 8, 128, 7).transpose(0, 3, 1, 2)
 
     t, idx = bvh_intersect_pallas_raw(
         rays,

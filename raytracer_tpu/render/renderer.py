@@ -196,17 +196,17 @@ class Renderer:
         if num_samples <= 0:
             return self._band_rows(1), 1, 0
         if self.scene.use_bvh:
-            return max(1, self._band_rows(1) // 4), 1, num_samples
+            return self._band_rows(1, self.cfg.mesh_rays_per_pass), 1, num_samples
         k = min(self.K_MAX, _pow2_floor(num_samples))
         n_passes = -(-num_samples // k)
         return self._band_rows(k), k, n_passes
 
-    def _band_rows(self, k: int) -> int:
+    def _band_rows(self, k: int, budget: int | None = None) -> int:
         cfg = self.cfg
         # The streaming engine uses one lane per (pixel, subpixel) whatever
         # k is; the lockstep engine uses k lanes per subpixel.
         lanes_per_row = cfg.width * 4 * (1 if cfg.engine == "regen" else k)
-        target = max(1, cfg.rays_per_pass // lanes_per_row)
+        target = max(1, (budget or cfg.rays_per_pass) // lanes_per_row)
         return _divisor_band(cfg.height, target)
 
     def plan_progressive(self, spp: int) -> tuple[int, int, int]:

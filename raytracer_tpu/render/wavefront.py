@@ -144,7 +144,7 @@ def render_band_regen(
         r2 = jnp.maximum(dist * dist, 1e-20)
         nee_lanes = valid & ~is_spec
         rays = rays + jnp.sum(nee_lanes.astype(jnp.int32))
-        sh_t, sh_valid = trace_t(scene, pre, x, wi_d, eps)
+        sh_t, sh_valid = trace_t(scene, pre, x, wi_d, eps, t_max=dist)
         vis = (~sh_valid) | (sh_t + eps.visibility_margin >= dist)
         f_d = brdf.eval_nonspecular(mat, nrm, o, wi_d)
         cos_x = vm.dot(nrm, wi_d)
