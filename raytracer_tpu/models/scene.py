@@ -226,11 +226,15 @@ def build_scene_arrays(
         )
         nodes_packed, tris_packed = pack_for_pallas(bvh, tri_pts_ordered)
     else:
-        z3 = np.zeros((0, 3), f)
-        zi = np.zeros((0,), np.int32)
+        # Minimal NON-zero dummies: zero-sized buffers trigger an XLA
+        # argument-pruning bug under replicated (shard_map) CPU execution
+        # ("Execution supplied 40 buffers but compiled program expected 44")
+        # when a no-BVH scene compiles before a BVH one in the same process.
+        z3 = np.zeros((1, 3), f)
+        zi = np.zeros((1,), np.int32)
         bvh_lo, bvh_hi, bvh_skip, bvh_first, bvh_count = z3, z3, zi, zi, zi
-        nodes_packed = np.zeros((0, 16, 128), f)
-        tris_packed = np.zeros((0, 48, 128), f)
+        nodes_packed = np.zeros((1, 16, 128), f)
+        tris_packed = np.zeros((1, 48, 128), f)
 
     return SceneArrays(
         sph_pos=jnp.asarray(sph_pos),

@@ -96,6 +96,16 @@ def rotate_z(v: Array, angle: float) -> Array:
     )
 
 
+def from_spherical(inclination: Array, azimuth: Array) -> Array:
+    """Unit vector from spherical angles (src/geometry.rs:41-47):
+    x = sin(i)cos(a), y = sin(i)sin(a), z = cos(i)."""
+    si = jnp.sin(inclination)
+    return jnp.stack(
+        [si * jnp.cos(azimuth), si * jnp.sin(azimuth), jnp.cos(inclination)],
+        axis=-1,
+    )
+
+
 def local_frame(n: Array) -> tuple[Array, Array, Array]:
     """Orthonormal (u, v, w=n) tangent frame.
 

@@ -42,7 +42,41 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (AXIS,))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "rows_per_dev", "mesh"))
+@functools.lru_cache(maxsize=64)
+def _sharded_band_fn(cfg: RenderConfig, rows_per_dev: int, mesh: Mesh, shape_key):
+    """A SEPARATE jit instance per (cfg, rows, mesh, scene-shape) signature.
+
+    One shared jit wrapper would be the natural choice, but reusing it
+    across scenes whose traced programs prune different argument subsets
+    (BVH vs no-BVH) trips an XLA replicated-execution bug on CPU
+    ("Execution supplied 40 buffers but compiled program expected 44").
+    Distinct jit objects have distinct caches and cannot cross-poison.
+    ``shape_key`` exists purely to separate those caches.
+    """
+    from raytracer_tpu.render.wavefront import render_band_regen
+
+    def run(scene, pre, y0, num_samples, key):
+        def per_device(scene, pre, y0, num_samples, key):
+            d = jax.lax.axis_index(AXIS)
+            my_y0 = y0 + d.astype(jnp.int32) * rows_per_dev
+            my_key = jax.random.fold_in(key, d)
+            sums, rays = render_band_regen(
+                scene, pre, cfg, my_y0, rows_per_dev, num_samples, my_key
+            )
+            return sums, jax.lax.psum(rays, AXIS)
+
+        shard = jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P()),  # everything replicated in
+            out_specs=(P(AXIS), P()),  # bands sharded, ray count replicated
+            check_vma=False,
+        )
+        return shard(scene, pre, y0, num_samples, key)
+
+    return jax.jit(run)
+
+
 def render_bands_sharded(
     scene: SceneArrays,
     pre: ScenePre,
@@ -59,25 +93,11 @@ def render_bands_sharded(
     Returns (sums [n_dev*rows_per_dev, W, 4, 3] sharded over rows, total
     rays i32 replicated).
     """
-    from raytracer_tpu.render.wavefront import render_band_regen
-
-    def per_device(scene, pre, y0, num_samples, key):
-        d = jax.lax.axis_index(AXIS)
-        my_y0 = y0 + d.astype(jnp.int32) * rows_per_dev
-        my_key = jax.random.fold_in(key, d)
-        sums, rays = render_band_regen(
-            scene, pre, cfg, my_y0, rows_per_dev, num_samples, my_key
-        )
-        return sums, jax.lax.psum(rays, AXIS)
-
-    shard = jax.shard_map(
-        per_device,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),  # everything replicated in
-        out_specs=(P(AXIS), P()),  # row bands sharded, ray count replicated
-        check_vma=False,
+    shape_key = tuple(
+        (x.shape, str(x.dtype)) for x in jax.tree.leaves((scene, pre))
     )
-    return shard(scene, pre, y0, num_samples, key)
+    fn = _sharded_band_fn(cfg, rows_per_dev, mesh, shape_key)
+    return fn(scene, pre, y0, num_samples, key)
 
 
 class ShardedRenderer(rnd.Renderer):
@@ -95,13 +115,13 @@ class ShardedRenderer(rnd.Renderer):
         self.mesh = mesh or make_mesh()
         self.n_dev = self.mesh.devices.size
 
-    def _band_rows(self, k: int) -> int:
+    def _band_rows(self, k: int, budget: int | None = None) -> int:
         # Split the frame into the fewest equal per-device bands such that
-        # one dispatch stays near rays_per_pass *per device*; the final
+        # one dispatch stays near the lane budget *per device*; the final
         # band may overshoot H (render_image clips the excess rows).
         cfg = self.cfg
         lanes_per_row = cfg.width * 4 * (1 if cfg.engine == "regen" else k)
-        target = max(1, cfg.rays_per_pass // lanes_per_row)
+        target = max(1, (budget or cfg.rays_per_pass) // lanes_per_row)
         n_bands = max(1, -(-cfg.height // (target * self.n_dev)))
         rows_per_dev = -(-cfg.height // (n_bands * self.n_dev))
         return rows_per_dev * self.n_dev

@@ -53,3 +53,15 @@ def test_sharded_band_rows_cover_height(scene):
     assert rows % r.n_dev == 0
     ys = [y for y, _ in r.iter_bands(16)]
     assert ys[0] == 0 and ys[-1] + rows >= cfg.height
+
+
+def test_sharded_mesh_scene_runs():
+    """Sharded renderer over a BVH scene (exercises the mesh band plan)."""
+    unicorn = load_scene(os.path.join(SCENES, "flying_unicorn.toml"))
+    cfg = RenderConfig(width=32, height=24, rays_per_pass=1 << 12,
+                       mesh_rays_per_pass=1 << 12)
+    r = ShardedRenderer(unicorn, cfg, make_mesh())
+    rows, k, n_passes = r.plan(8)
+    assert rows % r.n_dev == 0
+    img = r.render_image(8)
+    assert img.shape == (24, 32, 3)

@@ -76,3 +76,12 @@ def test_from_local_roundtrip():
     d = vm.from_local(u, v, w, d_local)
     # z component in the frame is d.n
     np.testing.assert_allclose(float(vm.dot(d, n)[0]), 0.97, rtol=1e-5)
+
+
+def test_from_spherical():
+    out = vm.from_spherical(jnp.asarray([0.0, np.pi / 2]), jnp.asarray([0.0, 0.0]))
+    np.testing.assert_allclose(np.asarray(out[0]), [0, 0, 1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[1]), [1, 0, 0], atol=1e-6)
+    # always unit length
+    a = vm.from_spherical(jnp.asarray([0.7]), jnp.asarray([2.1]))
+    np.testing.assert_allclose(float(vm.length(a)[0]), 1.0, rtol=1e-6)
