@@ -251,8 +251,12 @@ class Server:
     async def serve(self, port: int = DEFAULT_PORT, host: str = "0.0.0.0"):
         import websockets
 
+        # ping_interval=None: first-render jit tracing holds the GIL for
+        # tens of seconds, starving the event loop — default keepalive
+        # pings would tear down healthy connections mid-compile.
         server = await websockets.serve(
-            self.handle_connection, host, port, max_size=1 << 22
+            self.handle_connection, host, port, max_size=1 << 22,
+            ping_interval=None,
         )
         log.info("Listening on port %s.", port)
         return server
