@@ -208,7 +208,15 @@ def _coherence_order(ro: Array, rd: Array, root_lo: Array, root_hi: Array, eps: 
     return order, inverse
 
 
-def bvh_intersect(scene, ro: Array, rd: Array, eps: Epsilons, t_init: Array | None = None):
+def bvh_intersect(
+    scene,
+    ro: Array,
+    rd: Array,
+    eps: Epsilons,
+    t_init: Array | None = None,
+    any_hit: bool = False,
+    resolved0: Array | None = None,
+):
     """Nearest BVH-triangle hit per ray via *packet traversal*.
 
     ``t_init`` (optional, [N]) upper-bounds the search per ray: nodes and
@@ -216,6 +224,11 @@ def bvh_intersect(scene, ro: Array, rd: Array, eps: Epsilons, t_init: Array | No
     sphere/plane hit (main rays) or the light distance (shadow rays) —
     hits at or beyond t_init may be dropped, which those callers don't
     care about.
+
+    ``any_hit=True`` (shadow/visibility mode): a packet stops traversing
+    once EVERY lane is *resolved* — it found some hit below its bound, or
+    was already known occluded (``resolved0``) — which t wins no longer
+    matters, only occluded-or-not.
 
     TPU-shaped control flow: rays are grouped into packets of BLOCK lanes;
     each packet shares ONE node pointer and walks the skip-link tree in
@@ -246,23 +259,29 @@ def bvh_intersect(scene, ro: Array, rd: Array, eps: Epsilons, t_init: Array | No
     n = ro.shape[0]
     if t_init is None:
         t_init = jnp.full((n,), INF)
+    if resolved0 is None:
+        resolved0 = jnp.zeros((n,), bool)
     # Coherence sort: root-box cull + (octant, origin-Morton) clustering
     # keeps packet unions small for incoherent bounce wavefronts.
     order, inverse = _coherence_order(ro, rd, lo[0], hi[0], eps)
     ro = ro[order]
     rd = rd[order]
     t_init = t_init[order]
+    resolved0 = resolved0[order]
 
     g = -(-n // BLOCK)
     pad = g * BLOCK - n
     if pad:
-        # Padded lanes get degenerate rays (d=0 -> inv huge -> slab miss).
+        # Padded lanes get degenerate rays (d=0 -> inv huge -> slab miss);
+        # they count as resolved so they never hold a packet open.
         ro = jnp.concatenate([ro, jnp.zeros((pad, 3))], axis=0)
         rd = jnp.concatenate([rd, jnp.zeros((pad, 3))], axis=0)
         t_init = jnp.concatenate([t_init, jnp.zeros((pad,))], axis=0)
+        resolved0 = jnp.concatenate([resolved0, jnp.ones((pad,), bool)], axis=0)
     rog = ro.reshape(g, BLOCK, 3)
     rdg = rd.reshape(g, BLOCK, 3)
     t_init_g = t_init.reshape(g, BLOCK)
+    resolved0_g = resolved0.reshape(g, BLOCK)
     safe_d = jnp.where(jnp.abs(rdg) < 1e-12, jnp.float32(1e-12), rdg)
     inv_d = 1.0 / safe_d
 
@@ -299,6 +318,9 @@ def bvh_intersect(scene, ro: Array, rd: Array, eps: Epsilons, t_init: Array | No
             i_best = jnp.where(take, idx[:, None], i_best)
 
         node = jnp.where(live, jnp.where(box_any, node + 1, skip[nc]), node)
+        if any_hit:
+            resolved = jnp.all(resolved0_g | (t_best < t_init_g), axis=-1)  # [G]
+            node = jnp.where(resolved, n_nodes, node)
         return node, t_best, i_best
 
     _, t_best, i_best = jax.lax.while_loop(

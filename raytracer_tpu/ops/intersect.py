@@ -172,12 +172,14 @@ def _group_ts(
     rd: Array,
     eps: Epsilons,
     t_cap: Array | None = None,
+    any_hit: bool = False,
 ):
     """Per-group (nearest t [N], argmin [N]) with empty groups compiled out.
 
     ``t_cap`` optionally bounds the search (hits at/beyond it may be
     dropped) — only the BVH honors it today (mesh traversal is the only
-    path where pruning pays).
+    path where pruning pays).  ``any_hit`` additionally lets the mesh
+    search stop at the first sub-cap hit per ray (shadow queries).
     """
     n_rays = ro.shape[0]
     inf = jnp.full((n_rays,), INF)
@@ -212,16 +214,27 @@ def _group_ts(
         # index downstream, so an un-improved seed never wins) and the
         # caller's cap.
         t_init = jnp.minimum(jnp.minimum(ts_best, tp_best), tt_best)
+        resolved0 = None
         if t_cap is not None:
+            if any_hit:
+                # Lanes already occluded by a sphere/plane/prefix hit need
+                # no mesh confirmation.
+                resolved0 = t_init < t_cap
             t_init = jnp.minimum(t_init, t_cap)
         if use_pallas_bvh():
             from raytracer_tpu.ops.pallas.bvh_kernel import bvh_intersect_pallas
 
-            bt, bidx = bvh_intersect_pallas(scene, ro, rd, eps, t_init=t_init)
+            bt, bidx = bvh_intersect_pallas(
+                scene, ro, rd, eps, t_init=t_init,
+                any_hit=any_hit and t_cap is not None, resolved0=resolved0,
+            )
         else:
             from raytracer_tpu.ops.bvh import bvh_intersect
 
-            bt, bidx = bvh_intersect(scene, ro, rd, eps, t_init=t_init)
+            bt, bidx = bvh_intersect(
+                scene, ro, rd, eps, t_init=t_init,
+                any_hit=any_hit and t_cap is not None, resolved0=resolved0,
+            )
         use_b = bt < tt_best
         tt_best = jnp.where(use_b, bt, tt_best)
         tt_arg = jnp.where(use_b, bidx, tt_arg)
@@ -240,6 +253,7 @@ def trace_t(
     rd: Array,
     eps: Epsilons,
     t_max: Array | None = None,
+    any_hit: bool = False,
 ):
     """Nearest-hit distance only -> (t [N], valid [N]).
 
@@ -249,9 +263,12 @@ def trace_t(
     mesh search is pruned at the target distance: hits beyond it may be
     dropped (the returned t can equal t_max), which visibility tests of the
     form ``t + margin >= dist`` cannot distinguish from a miss — exactly
-    what they want.
+    what they want.  ``any_hit`` further lets the mesh stop at the first
+    sub-cap hit (the returned t then proves occlusion but isn't nearest).
     """
-    (ts, _), (tp, _), (tt, _) = _group_ts(scene, pre, ro, rd, eps, t_cap=t_max)
+    (ts, _), (tp, _), (tt, _) = _group_ts(
+        scene, pre, ro, rd, eps, t_cap=t_max, any_hit=any_hit
+    )
     t = jnp.minimum(jnp.minimum(ts, tp), tt)
     return t, t < INF
 

@@ -37,7 +37,7 @@ INF = 3.0e38  # python float: jnp constants captured by the kernel are rejected
 
 
 def _traverse_kernel(
-    rays_ref,  # [1,7,8,128] ro.xyz, rd.xyz, t_init
+    rays_ref,  # [1,8,8,128] ro.xyz, rd.xyz, t_init, resolved0
     nodes_ref,  # [NR,16,128]
     tris_ref,  # [TR,48,128]
     t_ref,  # [1,8,128] out
@@ -47,10 +47,12 @@ def _traverse_kernel(
     base: int,
     tri_tmin: float,
     tri_parallel: float,
+    any_hit: bool,
 ):
     ro = [rays_ref[0, k] for k in range(3)]  # 3 x [8,128]
     rd = [rays_ref[0, 3 + k] for k in range(3)]
     t_init = rays_ref[0, 6]  # per-ray search bound (INF when unbounded)
+    resolved0 = rays_ref[0, 7] > 0.5  # any-hit mode: lanes already occluded
     inv = [
         1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.float32(1e-12), d) for d in rd
     ]
@@ -125,6 +127,11 @@ def _traverse_kernel(
             hit_any & (count > 0), leaf, lambda c: c, (t_best, i_best)
         )
         node = jnp.where(hit_any, node + 1, skip)
+        if any_hit:
+            # Shadow mode: stop once every lane is resolved (found any hit
+            # below its bound, or was occluded before the mesh search).
+            resolved = jnp.all(resolved0 | (t_best < t_init))
+            node = jnp.where(resolved, n_nodes, node)
         return node, t_best, i_best
 
     _, t_best, i_best = jax.lax.while_loop(
@@ -142,16 +149,19 @@ def _traverse_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_nodes", "base", "tri_tmin", "tri_parallel", "interpret"),
+    static_argnames=(
+        "n_nodes", "base", "tri_tmin", "tri_parallel", "any_hit", "interpret"
+    ),
 )
 def bvh_intersect_pallas_raw(
-    rays: Array,  # [G,7,8,128]
+    rays: Array,  # [G,8,8,128]
     nodes: Array,  # [NR,16,128]
     tris: Array,  # [TR,48,128]
     n_nodes: int,
     base: int,
     tri_tmin: float,
     tri_parallel: float,
+    any_hit: bool = False,
     interpret: bool = False,
 ):
     g = rays.shape[0]
@@ -161,12 +171,13 @@ def bvh_intersect_pallas_raw(
         base=base,
         tri_tmin=tri_tmin,
         tri_parallel=tri_parallel,
+        any_hit=any_hit,
     )
     return pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
-            pl.BlockSpec((1, 7, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(nodes.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(tris.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -184,7 +195,8 @@ def bvh_intersect_pallas_raw(
 
 def bvh_intersect_pallas(
     scene, ro: Array, rd: Array, eps: Epsilons,
-    t_init: Array | None = None, interpret: bool = False,
+    t_init: Array | None = None, any_hit: bool = False,
+    resolved0: Array | None = None, interpret: bool = False,
 ):
     """Nearest BVH hit via the Pallas kernel -> (t[N], global tri idx[N]).
 
@@ -198,12 +210,17 @@ def bvh_intersect_pallas(
     n = ro.shape[0]
     if t_init is None:
         t_init = jnp.full((n,), INF, jnp.float32)
+    if resolved0 is None:
+        resolved0 = jnp.zeros((n,), jnp.float32)
+    else:
+        resolved0 = resolved0.astype(jnp.float32)
     order, inverse = _coherence_order(
         ro, rd, scene.bvh_lo[0], scene.bvh_hi[0], eps
     )
     ro = ro[order]
     rd = rd[order]
     t_init = t_init[order]
+    resolved0 = resolved0[order]
 
     g = -(-n // PACKET)
     pad = g * PACKET - n
@@ -211,9 +228,12 @@ def bvh_intersect_pallas(
         ro = jnp.concatenate([ro, jnp.zeros((pad, 3))], axis=0)
         rd = jnp.concatenate([rd, jnp.zeros((pad, 3))], axis=0)
         t_init = jnp.concatenate([t_init, jnp.zeros((pad,))], axis=0)
-    # [N,3]x2 + [N] -> [G,7,8,128]
-    rays = jnp.concatenate([ro, rd, t_init[:, None]], axis=1)  # [N,7]
-    rays = rays.reshape(g, 8, 128, 7).transpose(0, 3, 1, 2)
+        resolved0 = jnp.concatenate([resolved0, jnp.ones((pad,))], axis=0)
+    # [N,3]x2 + [N]x2 -> [G,8,8,128]
+    rays = jnp.concatenate(
+        [ro, rd, t_init[:, None], resolved0[:, None]], axis=1
+    )  # [N,8]
+    rays = rays.reshape(g, 8, 128, 8).transpose(0, 3, 1, 2)
 
     t, idx = bvh_intersect_pallas_raw(
         rays,
@@ -223,6 +243,7 @@ def bvh_intersect_pallas(
         base=scene.bvh_tri_start,
         tri_tmin=eps.tri_tmin,
         tri_parallel=eps.tri_parallel,
+        any_hit=any_hit,
         interpret=interpret,
     )
     t = t.reshape(-1)[:n][inverse]

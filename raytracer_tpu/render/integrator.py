@@ -122,7 +122,15 @@ def radiance(
         dist = vm.length(to_y)
         wi_d = to_y / jnp.maximum(dist, 1e-20)[:, None]
         r2 = jnp.maximum(dist * dist, 1e-20)
-        sh_t, sh_valid = trace_t(scene, pre, x, wi_d, eps, t_max=dist)
+        # Shadow query bounded at dist - margin: finding a hit below
+        # that bound is EXACTLY the reference's invisibility test
+        # hit.t + margin < dist (src/scene.rs:258-270).  (any_hit=True
+        # early exit measured net-negative here: shadow packets mostly
+        # root-cull, and the per-step resolution reduce costs more than
+        # the rare early exits save.)
+        sh_t, sh_valid = trace_t(
+            scene, pre, x, wi_d, eps, t_max=dist - eps.visibility_margin
+        )
         # mutually_visible: nearest hit at/just beyond y (src/scene.rs:258-270)
         vis = (~sh_valid) | (sh_t + eps.visibility_margin >= dist)
         f_d = brdf.eval_nonspecular(mat, n, o, wi_d)

@@ -144,7 +144,15 @@ def render_band_regen(
         r2 = jnp.maximum(dist * dist, 1e-20)
         nee_lanes = valid & ~is_spec
         rays = rays + jnp.sum(nee_lanes.astype(jnp.int32))
-        sh_t, sh_valid = trace_t(scene, pre, x, wi_d, eps, t_max=dist)
+        # Shadow query bounded at dist - margin: finding a hit below
+        # that bound is EXACTLY the reference's invisibility test
+        # hit.t + margin < dist (src/scene.rs:258-270).  (any_hit=True
+        # early exit measured net-negative here: shadow packets mostly
+        # root-cull, and the per-step resolution reduce costs more than
+        # the rare early exits save.)
+        sh_t, sh_valid = trace_t(
+            scene, pre, x, wi_d, eps, t_max=dist - eps.visibility_margin
+        )
         vis = (~sh_valid) | (sh_t + eps.visibility_margin >= dist)
         f_d = brdf.eval_nonspecular(mat, nrm, o, wi_d)
         cos_x = vm.dot(nrm, wi_d)

@@ -109,3 +109,47 @@ def test_bvh_through_full_trace():
     # object id: triangle hits -> obj 0, sphere hits -> obj 1
     expect_obj = np.where(tt <= ts, 0, 1)
     np.testing.assert_array_equal(np.asarray(hit.obj)[valid_ref], expect_obj[valid_ref])
+
+
+def test_any_hit_mode_detects_same_occlusions():
+    """Any-hit + nearest traversals agree on occluded-vs-clear for shadow
+    style queries (which t wins may differ)."""
+    import jax.numpy as jnp
+
+    tris = random_tri_soup(300, seed=11)
+    s = _scene_with_mesh_bvh(tris)
+    rng = np.random.default_rng(12)
+    n = 512
+    ro = jnp.asarray(rng.uniform(-12, 12, (n, 3)), jnp.float32)
+    d = rng.normal(size=(n, 3))
+    rd = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+    bound = jnp.asarray(rng.uniform(2.0, 25.0, (n,)), jnp.float32)
+
+    t_near, _ = bvh_intersect(s, ro, rd, EPS, t_init=bound)
+    t_any, _ = bvh_intersect(s, ro, rd, EPS, t_init=bound, any_hit=True)
+    occ_near = np.asarray(t_near) < np.asarray(bound)
+    occ_any = np.asarray(t_any) < np.asarray(bound)
+    np.testing.assert_array_equal(occ_near, occ_any)
+
+
+def test_any_hit_resolved0_lanes_dont_block():
+    import jax.numpy as jnp
+
+    tris = random_tri_soup(100, seed=13)
+    s = _scene_with_mesh_bvh(tris)
+    rng = np.random.default_rng(14)
+    n = 256
+    ro = jnp.asarray(rng.uniform(-12, 12, (n, 3)), jnp.float32)
+    d = rng.normal(size=(n, 3))
+    rd = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+    bound = jnp.full((n,), 20.0)
+    resolved = jnp.asarray(rng.random(n) < 0.5)
+    t1, _ = bvh_intersect(s, ro, rd, EPS, t_init=bound, any_hit=True)
+    t2, _ = bvh_intersect(
+        s, ro, rd, EPS, t_init=bound, any_hit=True, resolved0=resolved
+    )
+    # unresolved lanes still get correct occlusion answers
+    m = ~np.asarray(resolved)
+    np.testing.assert_array_equal(
+        (np.asarray(t1) < 20.0)[m], (np.asarray(t2) < 20.0)[m]
+    )

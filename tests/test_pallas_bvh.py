@@ -72,9 +72,7 @@ def test_pallas_through_full_trace_interpret(monkeypatch):
     orig = bk.bvh_intersect_pallas
     monkeypatch.setattr(
         bk, "bvh_intersect_pallas",
-        lambda scene, ro, rd, eps, t_init=None: orig(
-            scene, ro, rd, eps, t_init=t_init, interpret=True
-        ),
+        lambda scene, ro, rd, eps, **kw: orig(scene, ro, rd, eps, interpret=True, **kw),
     )
     monkeypatch.setattr(ix, "use_pallas_bvh", lambda: True)
     hit_pl = ix.trace(s, pre, ro, rd, EPS)
