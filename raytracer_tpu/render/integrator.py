@@ -14,7 +14,8 @@ control flow.  The loop exits early once every lane is dead (or at the
 static ``max_depth`` cap — the reference's RR tail is unbounded; see
 ``RenderConfig.max_depth``).
 
-RNG is counter-based threefry: the per-bounce key is
+RNG is counter-based (rbg by default, threefry selectable — see
+``RenderConfig.rng_impl``): the per-bounce key is
 ``fold_in(lane_batch_key, depth)`` and each bounce draws one ``[7,N]``
 uniform block (3 light + 1 RR + 3 BSDF lanes), making every render fully
 deterministic — something the reference (thread-local ``rand::random``)
