@@ -202,6 +202,10 @@ def _coherence_order(ro: Array, rd: Array, root_lo: Array, root_hi: Array, eps: 
         + 2 * (rd[:, 1] < 0).astype(jnp.int32)
         + 4 * (rd[:, 2] < 0).astype(jnp.int32)
     )
+    # Key order matters: origin Morton directly after the octant beats a
+    # finer direction quantization (measured: inserting a 6-bit direction
+    # Morton between them cost 30% on flying_unicorn — rays from the same
+    # surface patch share traversal prefixes regardless of direction).
     key = (miss << 30) | (octant << 13) | _morton12(ro, root_lo, root_hi)
     order = jnp.argsort(key)
     inverse = jnp.argsort(order)
