@@ -111,6 +111,9 @@ class SceneArrays:
     n_spheres: int = struct.field(pytree_node=False, default=0)
     n_planes: int = struct.field(pytree_node=False, default=0)
     n_triangles: int = struct.field(pytree_node=False, default=0)
+    # Scenes without Phong materials compile the Phong lobes away (the
+    # cos^power transcendentals cost ~20% of a bounce otherwise).
+    has_phong: bool = struct.field(pytree_node=False, default=True)
     use_bvh: bool = struct.field(pytree_node=False, default=False)
     # Triangles NOT covered by the BVH (from cube/prism objects) are brute
     # forced; BVH-covered triangles occupy [bvh_tri_start, n_triangles).
@@ -274,6 +277,7 @@ def build_scene_arrays(
         name=name,
         light_idx=light_idx,
         light_type=light_type,
+        has_phong=bool((brdf_type == BRDF_PHONG).any()),
         n_objects=no,
         n_spheres=ns,
         n_planes=np_,

@@ -62,21 +62,25 @@ def gather_mat(scene, obj: Array) -> Mat:
     )
 
 
-def eval_nonspecular(mat: Mat, n: Array, o: Array, i: Array) -> Array:
+def eval_nonspecular(mat: Mat, n: Array, o: Array, i: Array, has_phong: bool = True) -> Array:
     """BRDF::eval for diffuse/Phong lanes -> [N,3].
 
     Specular lanes return 0 (delta BRDF — never evaluated by NEE; the
     integrator folds the analytic mirror weight into the continuation).
     Reference arms: diffuse kd/pi (src/scene.rs:33), Phong
     kd*color_d/pi + ks*color_s*(p+2)/(2pi)*max(o.reflect(i,n),0)^p (:41-52).
+    ``has_phong=False`` (static scene metadata) compiles the Phong lobe —
+    a per-lane transcendental pow — away entirely.
     """
     diffuse = mat.c_d * (mat.k_d * INV_PI)[:, None]
-    refl = vm.reflect(i, n)
-    cos_r = jnp.maximum(vm.dot(o, refl), 0.0)
-    # power==0 lanes (pure diffuse) must not contribute via cos_r**0 == 1.
-    lobe = jnp.where(mat.power > 0.0, cos_r ** mat.power, 0.0)
-    phong_spec = mat.c_s * (mat.k_s * (mat.power + 2.0) / TWO_PI * lobe)[:, None]
-    f = diffuse + jnp.where((mat.brdf_type == BRDF_PHONG)[:, None], phong_spec, 0.0)
+    f = diffuse
+    if has_phong:
+        refl = vm.reflect(i, n)
+        cos_r = jnp.maximum(vm.dot(o, refl), 0.0)
+        # power==0 lanes (pure diffuse) must not contribute via cos_r**0 == 1.
+        lobe = jnp.where(mat.power > 0.0, cos_r ** mat.power, 0.0)
+        phong_spec = mat.c_s * (mat.k_s * (mat.power + 2.0) / TWO_PI * lobe)[:, None]
+        f = diffuse + jnp.where((mat.brdf_type == BRDF_PHONG)[:, None], phong_spec, 0.0)
     return jnp.where((mat.brdf_type == BRDF_SPECULAR)[:, None], 0.0, f)
 
 
@@ -122,6 +126,7 @@ def sample(
     u2: Array,
     u3: Array,
     fix_phong_frame: bool = True,
+    has_phong: bool = True,
 ) -> tuple[Array, Array]:
     """BRDF::sample_incoming for a wavefront -> (i[N,3], pdf[N]).
 
@@ -129,6 +134,7 @@ def sample(
     for the lobe pick and (u2,u3) for the sample; specular uses none.
     Dead Phong samples (u1 >= kd+ks) return i=0, pdf=1 (src/scene.rs:92-95)
     so the integrator's weight f*cos = 0 kills the lane.
+    ``has_phong=False`` compiles both Phong lobes away.
     """
     un, vn, wn = vm.local_frame(n)
 
@@ -139,6 +145,12 @@ def sample(
 
     # Specular mirror
     i_spec = vm.reflect(o, n)
+
+    is_spec = mat.brdf_type == BRDF_SPECULAR
+    if not has_phong:
+        i = jnp.where(is_spec[:, None], i_spec, i_diff)
+        pdf = jnp.where(is_spec, 1.0, pdf_diff)
+        return i, pdf
 
     # Phong: three-way split on u1
     pick_d = u1 < mat.k_d
@@ -159,7 +171,6 @@ def sample(
         jnp.where(pick_s, ph_s_pdf, 1.0),
     )
 
-    is_spec = mat.brdf_type == BRDF_SPECULAR
     is_phong = mat.brdf_type == BRDF_PHONG
     i = jnp.where(is_spec[:, None], i_spec, jnp.where(is_phong[:, None], i_phong, i_diff))
     pdf = jnp.where(is_spec, 1.0, jnp.where(is_phong, pdf_phong, pdf_diff))

@@ -134,7 +134,7 @@ def radiance(
         )
         # mutually_visible: nearest hit at/just beyond y (src/scene.rs:258-270)
         vis = (~sh_valid) | (sh_t + eps.visibility_margin >= dist)
-        f_d = brdf.eval_nonspecular(mat, n, o, wi_d)
+        f_d = brdf.eval_nonspecular(mat, n, o, wi_d, scene.has_phong)
         cos_x = vm.dot(n, wi_d)
         cos_y = vm.dot(ny, -wi_d)
         if cfg.use_mis:
@@ -155,11 +155,13 @@ def radiance(
 
         # ---- Russian roulette + BSDF continuation ----
         cont = alive & (us[3] < p)
-        wi, pdf_b = brdf.sample(mat, n, o, us[4], us[5], us[6], cfg.fix_phong_frame)
+        wi, pdf_b = brdf.sample(
+            mat, n, o, us[4], us[5], us[6], cfg.fix_phong_frame, scene.has_phong
+        )
         nxt = trace(scene, pre, x, wi, eps)
         good = cont & nxt.valid
 
-        f_c = brdf.eval_nonspecular(mat, n, o, wi)
+        f_c = brdf.eval_nonspecular(mat, n, o, wi, scene.has_phong)
         cos_c = vm.dot(n, wi)
         w_nonspec = jnp.where(
             (pdf_b > 1e-12)[:, None], f_c * (cos_c / jnp.maximum(pdf_b, 1e-12))[:, None], 0.0

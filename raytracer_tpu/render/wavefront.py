@@ -80,6 +80,16 @@ def render_band_regen(
     # Safety cap; RR terminates the while-loop far earlier in practice.
     hard_cap = num_samples * (cfg.max_depth + 2) + 64
 
+    # RNG draw layout (threefry/rbg bits cost ~a trace per bounce, so only
+    # draw what this scene's static material/light mix consumes):
+    # [jitter_x, jitter_y, light..., rr, bsdf...].
+    light_draws = 3 if scene.light_type != 0 else 2  # mesh lights pick a tri
+    bsdf_draws = 3 if scene.has_phong else 2
+    i_light = 2
+    i_rr = i_light + light_draws
+    i_bsdf = i_rr + 1
+    n_draws = i_bsdf + bsdf_draws
+
     zero3 = jnp.zeros((n, 3))
 
     def cond(st):
@@ -88,7 +98,11 @@ def render_band_regen(
 
     def body(st):
         (it, rays, active, j, depth, ro, rd, L, beta, emis, pdf_prev, acc) = st
-        us = jax.random.uniform(jax.random.fold_in(key, it), (9, n))
+        us = jax.random.uniform(jax.random.fold_in(key, it), (n_draws, n))
+        # Unused third draws (sphere lights / non-Phong BSDFs) alias an
+        # earlier lane — the consuming code statically ignores them.
+        u_light3 = us[i_light + 2] if light_draws == 3 else us[i_light]
+        u_bsdf3 = us[i_bsdf + 2] if bsdf_draws == 3 else us[i_bsdf]
 
         # ---- 1) regenerate: idle lanes start their next sample ----
         got = ~active & (j < num_samples)
@@ -137,7 +151,7 @@ def render_band_regen(
         mat = brdf.gather_mat(scene, obj)
         is_spec = mat.brdf_type == BRDF_SPECULAR
 
-        y, ny, pdf_l = sample_light(scene, us[2], us[3], us[4])
+        y, ny, pdf_l = sample_light(scene, us[i_light], us[i_light + 1], u_light3)
         to_y = y - x
         dist = vm.length(to_y)
         wi_d = to_y / jnp.maximum(dist, 1e-20)[:, None]
@@ -154,7 +168,7 @@ def render_band_regen(
             scene, pre, x, wi_d, eps, t_max=dist - eps.visibility_margin
         )
         vis = (~sh_valid) | (sh_t + eps.visibility_margin >= dist)
-        f_d = brdf.eval_nonspecular(mat, nrm, o, wi_d)
+        f_d = brdf.eval_nonspecular(mat, nrm, o, wi_d, scene.has_phong)
         cos_x = vm.dot(nrm, wi_d)
         cos_y = vm.dot(ny, -wi_d)
         if cfg.use_mis:
@@ -172,9 +186,12 @@ def render_band_regen(
         L = L + jnp.where(nee_lanes[:, None], beta * direct, 0.0)
 
         p = jnp.where(depth <= cfg.rr_start_depth, 1.0, cfg.rr_survival)
-        cont = valid & (us[5] < p) & (depth < cfg.max_depth)
-        wi, pdf_b = brdf.sample(mat, nrm, o, us[6], us[7], us[8], cfg.fix_phong_frame)
-        f_c = brdf.eval_nonspecular(mat, nrm, o, wi)
+        cont = valid & (us[i_rr] < p) & (depth < cfg.max_depth)
+        wi, pdf_b = brdf.sample(
+            mat, nrm, o, us[i_bsdf], us[i_bsdf + 1], u_bsdf3,
+            cfg.fix_phong_frame, scene.has_phong,
+        )
+        f_c = brdf.eval_nonspecular(mat, nrm, o, wi, scene.has_phong)
         cos_c = vm.dot(nrm, wi)
         w_nonspec = jnp.where(
             (pdf_b > 1e-12)[:, None],
