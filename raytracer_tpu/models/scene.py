@@ -233,11 +233,13 @@ def build_scene_arrays(
         # argument-pruning bug under replicated (shard_map) CPU execution
         # ("Execution supplied 40 buffers but compiled program expected 44")
         # when a no-BVH scene compiles before a BVH one in the same process.
+        from raytracer_tpu.ops.bvh import MAX_LEAF
+
         z3 = np.zeros((1, 3), f)
         zi = np.zeros((1,), np.int32)
         bvh_lo, bvh_hi, bvh_skip, bvh_first, bvh_count = z3, z3, zi, zi, zi
         nodes_packed = np.zeros((1, 16, 128), f)
-        tris_packed = np.zeros((1, 48, 128), f)
+        tris_packed = np.zeros((1, 12 * MAX_LEAF, 128), f)
 
     return SceneArrays(
         sph_pos=jnp.asarray(sph_pos),

@@ -31,7 +31,11 @@ from jax import Array
 
 from raytracer_tpu.config import Epsilons
 
-MAX_LEAF = 4
+# Leaf size tuned on v5e (flying_unicorn sweep): 4->58s, 8->51s, 16->40s,
+# 32->33s, 64->29s, 128->27s-but-3x compile time.  Fat leaves win because a
+# packet visit's fixed cost (node fetch + per-step overhead) dwarfs the
+# dense per-triangle VPU math.
+MAX_LEAF = 64
 INF = jnp.float32(3.0e38)
 
 
@@ -113,8 +117,8 @@ def pack_for_pallas(
 
     Node i lives at nodes[i//128, :, i%128] with 9 f32 sublane fields
     [lo.xyz, hi.xyz, skip, first, count] (ints exact in f32 below 2^24).
-    Leaf group g (triangles 4g..4g+3 of the ordered+padded layout) lives at
-    tris[g//128, :, g%128] with 4x12 sublane fields per triangle:
+    Leaf group g (triangles MAX_LEAF*g.. of the ordered+padded layout) lives
+    at tris[g//128, :, g%128] with MAX_LEAF x 12 sublane fields per triangle:
     [n_unit.xyz, n_d, q1.xyz, q1_a, q2.xyz, q2_a] — the same
     barycentric-gradient precomputation as ops.intersect.tri_precompute.
 
@@ -160,7 +164,7 @@ def pack_for_pallas(
     tr = -(-n_groups // 128)
     pad_tris = np.zeros((tr * 128 * MAX_LEAF, 12), np.float32)
     pad_tris[: fields.shape[0]] = fields
-    # [TR*128 groups, 4 tris, 12 fields] -> [TR, 48, 128]
+    # [TR*128 groups, MAX_LEAF tris, 12 fields] -> [TR, 12*MAX_LEAF, 128]
     tris = (
         pad_tris.reshape(tr, 128, MAX_LEAF * 12).transpose(0, 2, 1).astype(np.float32)
     )

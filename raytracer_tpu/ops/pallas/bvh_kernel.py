@@ -31,6 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from raytracer_tpu.config import Epsilons
+from raytracer_tpu.ops.bvh import MAX_LEAF
 
 PACKET = 1024  # rays per program: [8,128] vregs
 INF = 3.0e38  # python float: jnp constants captured by the kernel are rejected
@@ -58,7 +59,7 @@ def _traverse_kernel(
     ]
 
     node_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 128), 2)
-    tri_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 48, 128), 2)
+    tri_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, MAX_LEAF * 12, 128), 2)
 
     def cond(st):
         return st[0] < n_nodes
@@ -87,10 +88,10 @@ def _traverse_kernel(
 
         def leaf(carry):
             t_best, i_best = carry
-            g = first // 4
-            tb = tris_ref[pl.ds(g // 128, 1), :, :]  # [1,48,128]
-            tf = jnp.sum(jnp.where(tri_lanes == g % 128, tb, 0.0), axis=2)  # [1,48]
-            for j in range(4):
+            g = first // MAX_LEAF
+            tb = tris_ref[pl.ds(g // 128, 1), :, :]  # [1,12*MAX_LEAF,128]
+            tf = jnp.sum(jnp.where(tri_lanes == g % 128, tb, 0.0), axis=2)  # [1,12*MAX_LEAF]
+            for j in range(MAX_LEAF):
                 f = tf[0, 12 * j : 12 * (j + 1)]  # [12]
                 nx, ny, nz, n_d = f[0], f[1], f[2], f[3]
                 q1x, q1y, q1z, q1a = f[4], f[5], f[6], f[7]
@@ -156,7 +157,7 @@ def _traverse_kernel(
 def bvh_intersect_pallas_raw(
     rays: Array,  # [G,8,8,128]
     nodes: Array,  # [NR,16,128]
-    tris: Array,  # [TR,48,128]
+    tris: Array,  # [TR,12*MAX_LEAF,128]
     n_nodes: int,
     base: int,
     tri_tmin: float,
