@@ -273,15 +273,24 @@ def trace_t(
     return t, t < INF
 
 
-def trace(scene: SceneArrays, pre: ScenePre, ro: Array, rd: Array, eps: Epsilons) -> Hit:
+def trace(
+    scene: SceneArrays,
+    pre: ScenePre,
+    ro: Array,
+    rd: Array,
+    eps: Epsilons,
+    t_cap: Array | None = None,
+) -> Hit:
     """Nearest hit of each ray against the whole scene.
 
     Equivalent of Scene::trace_ray (src/scene.rs:272-289) for a wavefront:
     per-group argmin-t, then a cross-group argmin, then one gather of the
-    winning primitive's attributes.
+    winning primitive's attributes.  ``t_cap`` (per-ray) optionally prunes
+    the mesh search like in trace_t — lanes that only need a bounded
+    answer (fused shadow queries) pass their bound here.
     """
     (ts_best, ts_arg), (tp_best, tp_arg), (tt_best, tt_arg) = _group_ts(
-        scene, pre, ro, rd, eps
+        scene, pre, ro, rd, eps, t_cap=t_cap
     )
 
     group_t = jnp.stack([ts_best, tp_best, tt_best], axis=0)  # [3,N]

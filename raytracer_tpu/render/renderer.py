@@ -111,22 +111,23 @@ render_band = functools.partial(
 )(_render_band_impl)
 
 
-def _render_band_regen_jit():
-    from raytracer_tpu.render.wavefront import render_band_regen
-
-    return functools.partial(jax.jit, static_argnames=("cfg", "rows"))(render_band_regen)
-
-
-_regen_jit_cache = None
+@functools.lru_cache(maxsize=4)
+def _streaming_jit(engine: str):
+    if engine == "fused":
+        from raytracer_tpu.render.wavefront_fused import render_band_fused as fn
+    else:
+        from raytracer_tpu.render.wavefront import render_band_regen as fn
+    return functools.partial(jax.jit, static_argnames=("cfg", "rows"))(fn)
 
 
 def render_band_streaming(scene, pre, cfg, y0, rows, num_samples, key):
-    """Jit wrapper for the streaming engine: num_samples is DYNAMIC so one
-    compile per (cfg, rows) serves every spp."""
-    global _regen_jit_cache
-    if _regen_jit_cache is None:
-        _regen_jit_cache = _render_band_regen_jit()
-    return _regen_jit_cache(scene, pre, cfg, y0, rows, num_samples, key)
+    """Jit wrapper for the streaming engines: num_samples is DYNAMIC so one
+    compile per (cfg, rows) serves every spp.  MIS renders always use the
+    plain streaming engine (the fused one is NEE-only)."""
+    engine = cfg.engine
+    if engine == "fused" and cfg.use_mis:
+        engine = "regen"
+    return _streaming_jit(engine)(scene, pre, cfg, y0, rows, num_samples, key)
 
 
 @functools.partial(jax.jit, static_argnames=("num_samples",))
@@ -203,9 +204,9 @@ class Renderer:
 
     def _band_rows(self, k: int, budget: int | None = None) -> int:
         cfg = self.cfg
-        # The streaming engine uses one lane per (pixel, subpixel) whatever
+        # The streaming engines use one lane per (pixel, subpixel) whatever
         # k is; the lockstep engine uses k lanes per subpixel.
-        lanes_per_row = cfg.width * 4 * (1 if cfg.engine == "regen" else k)
+        lanes_per_row = cfg.width * 4 * (1 if cfg.engine != "simple" else k)
         target = max(1, (budget or cfg.rays_per_pass) // lanes_per_row)
         return _divisor_band(cfg.height, target)
 
@@ -242,7 +243,7 @@ class Renderer:
         Rays traced are accumulated (lazily, as device scalars) on
         ``self.ray_counts`` for Mrays/s accounting.
         """
-        if self.cfg.engine == "regen":
+        if self.cfg.engine in ("regen", "fused"):
             sums, rays = render_band_streaming(
                 self.scene, self.pre, self.cfg,
                 jnp.int32(y0), rows, jnp.int32(k * n_passes),

@@ -81,3 +81,40 @@ def test_band_rows_independent_of_k_for_streaming(cornell):
     rows_lo, _, _ = r.plan(16)
     rows_hi, _, _ = r.plan(1024)
     assert rows_lo == rows_hi
+
+
+def test_fused_matches_regen_engine(cornell):
+    """The fused-trace engine is the same estimator as the streaming one."""
+    base = dict(width=72, height=54, rays_per_pass=1 << 14)
+    spp = 64
+    a = _mean_image(cornell, RenderConfig(engine="regen", seed=0, **base), spp)
+    a2 = _mean_image(cornell, RenderConfig(engine="regen", seed=1, **base), spp)
+    b = _mean_image(cornell, RenderConfig(engine="fused", seed=0, **base), spp)
+    floor = np.abs(a - a2).mean()
+    assert abs(a.mean() - b.mean()) < 1.5
+    assert np.abs(a - b).mean() < 1.15 * floor + 0.5
+
+
+def test_fused_light_pixel_exact(cornell):
+    """Direct light visibility: pixel on the light sums exactly 50*k."""
+    import jax
+    import jax.numpy as jnp
+
+    from raytracer_tpu.ops.intersect import scene_precompute
+    from raytracer_tpu.render.wavefront_fused import render_band_fused
+
+    cfg = RenderConfig(width=608, height=456, rays_per_pass=1 << 12)
+    pre = scene_precompute(cornell)
+    sums, rays = render_band_fused(
+        cornell, pre, cfg, jnp.int32(340), 1, 8, jax.random.key(2)
+    )
+    np.testing.assert_allclose(np.asarray(sums)[0, 300], 50.0 * 8, rtol=1e-4)
+    assert int(rays) > 0
+
+
+def test_fused_mis_falls_back_to_regen(cornell):
+    """MIS + fused engine silently uses the regen path (no crash, unbiased)."""
+    cfg = RenderConfig(width=40, height=30, rays_per_pass=1 << 12,
+                       engine="fused", use_mis=True)
+    img = Renderer(cornell, cfg).render_image(16)
+    assert np.isfinite(img.astype(np.float64)).all() and img.mean() > 5
