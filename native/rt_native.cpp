@@ -70,10 +70,13 @@ inline bool line_is(Cursor& c, const char* tag, int len) {
 extern "C" {
 
 // First pass: count v / vn / f lines.  counts = {n_verts, n_normals, n_faces}.
+// Leading whitespace on a line is tolerated (the reference tokenizes with
+// split_whitespace, so "  v 1 2 3" is a vertex line).
 int rt_obj_counts(const char* text, long n, long* counts) {
   Cursor c{text, text + n};
   long nv = 0, nn = 0, nf = 0;
   while (c.p < c.end) {
+    skip_ws(c);
     if (line_is(c, "vn", 2)) {
       ++nn;
     } else if (line_is(c, "v", 1)) {
@@ -91,10 +94,15 @@ int rt_obj_counts(const char* text, long n, long* counts) {
 
 // Second pass: fill preallocated arrays.  Returns 0 on success, negative on
 // a malformed line (the reference errors on truncated v/vn/f lines).
-int rt_obj_parse(const char* text, long n, double* verts, double* norms, long* faces) {
+// n_verts = total vertex count from the counts pass; face indices are
+// validated against it (forward references are legal OBJ), matching the
+// Python parser's MeshLoadError("face index out of range").
+int rt_obj_parse(const char* text, long n, double* verts, double* norms, long* faces,
+                 long n_verts) {
   Cursor c{text, text + n};
   long iv = 0, in = 0, if_ = 0;
   while (c.p < c.end) {
+    skip_ws(c);
     if (line_is(c, "vn", 2)) {
       c.p += 2;
       for (int k = 0; k < 3; ++k)
@@ -110,6 +118,7 @@ int rt_obj_parse(const char* text, long n, double* verts, double* norms, long* f
       for (int k = 0; k < 3; ++k) {
         long idx;
         if (!take_face_index(c, &idx)) return -3;
+        if (idx < 1 || idx > n_verts) return -4;  // out-of-range face index
         faces[if_ * 3 + k] = idx - 1;  // 1-based -> 0-based
       }
       ++if_;

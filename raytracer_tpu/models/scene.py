@@ -101,7 +101,7 @@ class SceneArrays:
     bvh_count: jnp.ndarray  # [Nn] i32 leaf triangle count (0 internal)
     # VMEM-packed forms for the Pallas traversal kernel (ops/pallas).
     bvh_nodes_packed: jnp.ndarray  # [NR,16,128] f32
-    bvh_tris_packed: jnp.ndarray  # [TR,48,128] f32
+    bvh_tris_packed: jnp.ndarray  # [TR, 12*MAX_LEAF, 128] f32
 
     # --- Static metadata ---
     name: str = struct.field(pytree_node=False, default="")

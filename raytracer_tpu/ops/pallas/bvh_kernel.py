@@ -9,12 +9,14 @@ traversal inside ONE Mosaic kernel:
   ``while`` loop over the skip-link tree, so total work is the *sum* of
   packet visit counts, not ``n_packets x max``;
 - the complete BVH lives in VMEM: nodes packed [NR,16,128] (node i at
-  [i//128, field, i%128]) and leaf triangle groups packed [TR,48,128]
-  (4 tris x 12 precomputed barycentric-gradient fields) — one dynamic
-  sublane-block read + one masked lane-reduction fetches a whole node or
-  leaf (no per-lane gathers, which Mosaic lacks);
-- rays are [8,128] vregs; slab tests and the 4 leaf triangle tests are
-  dense VPU math; leaf work is guarded by a scalar ``lax.cond``.
+  [i//128, field, i%128]) and leaf triangle groups packed
+  [TR, 12*MAX_LEAF, 128] (MAX_LEAF tris x 12 precomputed
+  barycentric-gradient fields per group) — one dynamic sublane-block read
+  + one masked lane-reduction fetches a whole node or leaf (no per-lane
+  gathers, which Mosaic lacks);
+- rays are [8,128] vregs (8 fields: ro.xyz, rd.xyz, t bound, resolved
+  flag); slab tests and the MAX_LEAF leaf triangle tests are dense VPU
+  math; leaf work is guarded by a scalar ``lax.cond``.
 
 Same nearest-hit semantics as ops.bvh.bvh_intersect; parity is tested in
 interpret mode (tests/test_pallas_bvh.py).
@@ -40,7 +42,7 @@ INF = 3.0e38  # python float: jnp constants captured by the kernel are rejected
 def _traverse_kernel(
     rays_ref,  # [1,8,8,128] ro.xyz, rd.xyz, t_init, resolved0
     nodes_ref,  # [NR,16,128]
-    tris_ref,  # [TR,48,128]
+    tris_ref,  # [TR, 12*MAX_LEAF, 128]
     t_ref,  # [1,8,128] out
     i_ref,  # [1,8,128] i32 out
     *,
@@ -202,9 +204,9 @@ def bvh_intersect_pallas(
     """Nearest BVH hit via the Pallas kernel -> (t[N], global tri idx[N]).
 
     Applies the same root-cull + coherence sort as the XLA path, reshapes
-    rays into [G,7,8,128] packets (7th field = per-ray t bound; see
-    ops.bvh.bvh_intersect for the pruning contract), and unsorts the
-    results.
+    rays into [G,8,8,128] packets (fields 6/7 = per-ray t bound and
+    already-resolved flag; see ops.bvh.bvh_intersect for the pruning
+    contract), and unsorts the results.
     """
     from raytracer_tpu.ops.bvh import _coherence_order
 

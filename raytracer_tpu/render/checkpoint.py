@@ -23,7 +23,10 @@ FORMAT = 1
 
 def _fingerprint(scene_name: str, cfg: RenderConfig) -> str:
     d = dataclasses.asdict(cfg)
-    d.pop("rays_per_pass", None)  # batching doesn't affect the estimate
+    # Batching knobs don't affect the estimate; a checkpoint remains
+    # resumable after retuning them.
+    d.pop("rays_per_pass", None)
+    d.pop("mesh_rays_per_pass", None)
     return json.dumps({"scene": scene_name, "cfg": d}, sort_keys=True)
 
 

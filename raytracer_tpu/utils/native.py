@@ -42,6 +42,7 @@ def _lib():
         ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_long),
+        ctypes.c_long,  # n_verts, for face-index bounds checking
     ]
     # long rt_pack_rows(const uint8_t* rgb, int n_rows, int width,
     #                   const int* y_labels, int pixels_per_msg, uint8_t* out)
@@ -78,6 +79,7 @@ def parse_obj_file(path: str):
         verts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         norms.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         faces.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        nv,
     )
     if rc != 0:
         from raytracer_tpu.models.obj import MeshLoadError

@@ -195,3 +195,35 @@ def test_unknown_geometry_raises():
             },
             name="bad",
         )
+
+
+def test_native_obj_parser_parity(tmp_path):
+    """The C++ parser (native/rt_native.cpp) must match parse_obj semantics,
+    including leading-whitespace tolerance and face-index bounds checks."""
+    from raytracer_tpu.utils import native
+
+    if native._lib() is None:
+        pytest.skip("librt_native.so not built")
+
+    text = """
+v 0 0 0
+  v 1 0 0
+\tv 0 1 0
+vn 0 0 1
+  f 1/1/1 2/2/1 3/3/1
+f 3 2 1
+"""
+    p = tmp_path / "ws.obj"
+    p.write_text(text)
+    got = native.parse_obj_file(str(p))
+    assert got is not None
+    v, vn, idx = got
+    ev, evn, eidx = objlib.parse_obj(text)
+    np.testing.assert_array_equal(v, ev)
+    np.testing.assert_array_equal(vn, evn)
+    np.testing.assert_array_equal(idx, eidx)
+
+    bad = tmp_path / "bad.obj"
+    bad.write_text("v 0 0 0\nf 1 2 9\n")
+    with pytest.raises(objlib.MeshLoadError):
+        native.parse_obj_file(str(bad))
