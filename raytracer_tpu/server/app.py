@@ -21,6 +21,10 @@ Differences (documented):
   after every sample chunk (reference clients never send these; serde in
   the reference would reject unknown fields silently? no — serde ignores
   unknown fields by default, so the extension is wire-compatible)
+- requests with out-of-range width/height/spp close the connection
+  (MAX_DIM/MAX_SPP below); the reference can't receive them at all
+- with >1 visible device, renders are sharded over the device mesh
+  (parallel/mesh.py), the TPU analog of the reference's thread pool
 """
 
 from __future__ import annotations
@@ -31,6 +35,7 @@ import logging
 import random
 import string
 import threading
+from collections import OrderedDict
 from dataclasses import dataclass, field, replace
 
 import numpy as np
@@ -43,6 +48,16 @@ log = logging.getLogger("raytracer_tpu.server")
 
 WIDTH = 600  # reference: src/server.rs:29-30
 HEIGHT = 450
+
+# Hostile-request guards.  The reference hard-codes 600x450 (src/server.rs:
+# 29-30) so it cannot be resource-exhausted this way; our width/height
+# extension must not become one.  Requests outside these bounds close the
+# connection (same fate as an unknown scene).
+MAX_DIM = 4096
+MAX_SPP = 1 << 20
+# Each cached renderer pins compiled executables + a device scene copy; keep
+# an LRU so a client cycling through resolutions can't grow memory unboundedly.
+MAX_RENDERERS = 8
 
 
 class CancellationToken:
@@ -103,7 +118,9 @@ class RenderJob:
         async def stream_rows(y0: int, rows: int, rgb: np.ndarray) -> None:
             # rgb is render-space rows [y0, y0+rows); wire labels are
             # flipped: label = height-1-y_render (src/server.rs:181).
-            for i in range(rows):
+            # Sharded bands round rows up to a device-count multiple; rows
+            # past the frame bottom are padding and must not be streamed.
+            for i in range(min(rows, height - y0)):
                 y_label = height - 1 - (y0 + i)
                 for msg in wire.pack_row(y_label, rgb[i]):
                     await self.send(msg)
@@ -173,19 +190,47 @@ class Server:
         cfg: RenderConfig | None = None,
         width: int = WIDTH,
         height: int = HEIGHT,
+        sharded: bool | None = None,
     ) -> None:
         self.scenes = scenes
         self.base_cfg = cfg or RenderConfig()
         self.width = width
         self.height = height
         self.connections: set[str] = set()
-        self._renderers: dict[tuple[str, int, int], Renderer] = {}
+        self._renderers: OrderedDict[tuple[str, int, int], Renderer] = OrderedDict()
+        # The reference's *entire* compute parallelism lives in its serve
+        # path (row bands over available_parallelism() threads,
+        # src/server.rs:157-199); the TPU equivalent is row bands over the
+        # device mesh.  sharded=None: use every visible device, degrading
+        # to the plain single-device renderer at n=1.  The sharded path
+        # runs the streaming engine; other engines fall back to 1 device.
+        self.sharded = sharded
+
+    def _make_renderer(self, scene, cfg: RenderConfig) -> Renderer:
+        use_sharded = self.sharded
+        if use_sharded is None or use_sharded:
+            import jax
+
+            n_dev = len(jax.devices())
+            if use_sharded is None:
+                use_sharded = n_dev > 1 and cfg.engine == "regen"
+            elif cfg.engine != "regen":
+                raise ValueError("sharded serving requires engine='regen'")
+        if use_sharded:
+            from raytracer_tpu.parallel.mesh import ShardedRenderer
+
+            return ShardedRenderer(scene, cfg)
+        return Renderer(scene, cfg)
 
     def renderer_for(self, scene_name: str, width: int, height: int) -> Renderer:
         key = (scene_name, width, height)
         if key not in self._renderers:
             cfg = replace(self.base_cfg, width=width, height=height)
-            self._renderers[key] = Renderer(self.scenes[scene_name], cfg)
+            self._renderers[key] = self._make_renderer(self.scenes[scene_name], cfg)
+            while len(self._renderers) > MAX_RENDERERS:
+                # Evict LRU; an in-flight render keeps its own reference.
+                self._renderers.popitem(last=False)
+        self._renderers.move_to_end(key)
         return self._renderers[key]
 
     def _new_connection_id(self) -> str:
@@ -221,13 +266,25 @@ class Server:
                     log.error("[%s] failed to parse message", cid)
                     break  # reference panics the connection task (:92)
                 if not job.running() and mtype == "render":
-                    scene = msg["scene"]
-                    spp = int(msg["spp"])  # required, like the reference
+                    try:
+                        scene = msg["scene"]
+                        spp = int(msg["spp"])  # required, like the reference
+                        w = int(msg.get("width", self.width))
+                        h = int(msg.get("height", self.height))
+                    except (KeyError, TypeError, ValueError):
+                        log.error("[%s] malformed render request", cid)
+                        break  # reference panics on bad messages (:92)
                     if scene not in self.scenes:
                         log.error("[%s] unknown scene %r", cid, scene)
                         break  # reference unwrap-panics (:100)
-                    w = int(msg.get("width", self.width))
-                    h = int(msg.get("height", self.height))
+                    if not (1 <= w <= MAX_DIM and 1 <= h <= MAX_DIM) or not (
+                        0 <= spp <= MAX_SPP
+                    ):
+                        log.error(
+                            "[%s] rejected render request w=%s h=%s spp=%s",
+                            cid, w, h, spp,
+                        )
+                        break
                     progressive = bool(msg.get("progressive", False))
                     renderer = self.renderer_for(scene, w, h)
 

@@ -47,7 +47,16 @@ def main(argv=None) -> int:
     stats = RenderStats(pixels=args.width * args.height, samples=args.spp)
     with stats.phase("load"):
         scene = load_scene(args.scene)
-    renderer = Renderer(scene, cfg)
+    import jax
+
+    if len(jax.devices()) > 1 and cfg.engine == "regen":
+        # Shard row bands over the device mesh (parallel/mesh.py) — the TPU
+        # analog of the reference's available_parallelism() thread pool.
+        from raytracer_tpu.parallel.mesh import ShardedRenderer
+
+        renderer = ShardedRenderer(scene, cfg)
+    else:
+        renderer = Renderer(scene, cfg)
     with stats.phase("render"):
         img = renderer.render_image(args.spp)
     stats.rays = renderer.rays_traced()

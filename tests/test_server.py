@@ -185,3 +185,78 @@ def test_render_while_running_is_ignored(server_port):
             assert extra == 0
 
     asyncio.run(go())
+
+
+def test_server_shards_over_visible_devices():
+    """With >1 visible device (the 8-device virtual CPU mesh here) the
+    server serves via ShardedRenderer; sharded=False forces the plain path
+    (VERDICT r1 #3: the serve path owns the compute parallelism)."""
+    from raytracer_tpu.parallel.mesh import ShardedRenderer
+
+    scenes = {"cornell_box": load_scene(os.path.join(SCENES, "cornell_box.toml"))}
+    srv = Server(scenes, cfg=RenderConfig(rays_per_pass=1 << 14), width=W, height=H)
+    r = srv.renderer_for("cornell_box", W, H)
+    assert isinstance(r, ShardedRenderer) and r.n_dev == 8
+
+    plain = Server(scenes, width=W, height=H, sharded=False)
+    r2 = plain.renderer_for("cornell_box", W, H)
+    assert not isinstance(r2, ShardedRenderer)
+
+
+def test_sharded_server_streams_full_frame(server_port):
+    """End-to-end WS render over the 8-device mesh (the module fixture
+    auto-shards: 8 virtual devices are visible)."""
+    img = asyncio.run(
+        _collect_render(
+            server_port,
+            {"type": "render", "scene": "cornell_box", "spp": 4},
+            W * H,
+        )
+    )
+    assert (img >= 0).all()
+    assert img[:10].mean() > img[-10:].mean()
+
+
+def test_oversize_request_closes_connection(server_port):
+    async def go():
+        import websockets
+
+        async with websockets.connect(f"ws://127.0.0.1:{server_port}") as ws:
+            await ws.send(
+                json.dumps(
+                    {"type": "render", "scene": "cornell_box", "spp": 4,
+                     "width": 1 << 20, "height": 1 << 20}
+                )
+            )
+            with pytest.raises(websockets.exceptions.ConnectionClosed):
+                while True:
+                    await asyncio.wait_for(ws.recv(), 10)
+
+    asyncio.run(go())
+
+
+def test_garbage_spp_closes_connection(server_port):
+    async def go():
+        import websockets
+
+        async with websockets.connect(f"ws://127.0.0.1:{server_port}") as ws:
+            await ws.send(
+                json.dumps({"type": "render", "scene": "cornell_box", "spp": "lots"})
+            )
+            with pytest.raises(websockets.exceptions.ConnectionClosed):
+                while True:
+                    await asyncio.wait_for(ws.recv(), 10)
+
+    asyncio.run(go())
+
+
+def test_renderer_cache_is_bounded():
+    from raytracer_tpu.server.app import MAX_RENDERERS
+
+    scenes = {"cornell_box": load_scene(os.path.join(SCENES, "cornell_box.toml"))}
+    srv = Server(scenes, width=W, height=H, sharded=False)
+    for i in range(MAX_RENDERERS + 4):
+        srv.renderer_for("cornell_box", 16 + i, 16)
+    assert len(srv._renderers) == MAX_RENDERERS
+    # most-recently-used entries survive
+    assert ("cornell_box", 16 + MAX_RENDERERS + 3, 16) in srv._renderers
