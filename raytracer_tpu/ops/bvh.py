@@ -39,8 +39,31 @@ MAX_LEAF = 64
 INF = jnp.float32(3.0e38)
 
 
+SAH_BINS = 16
+# Traversal cost model for split decisions.  BOTH traversal paths test all
+# MAX_LEAF slots on every leaf visit (static loops in bvh_intersect and the
+# Pallas kernel), so a leaf visit has FIXED cost regardless of how full the
+# leaf is — the SAH leaf term is therefore per-GROUP (ceil(N/max_leaf)), not
+# per-triangle, and packing leaves full is free.  C_LEAF is the measured
+# ratio of one leaf visit (MAX_LEAF dense triangle tests) to one internal
+# node visit (fetch + slab test).
+C_LEAF = 12.0
+
+
+def _half_area(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    d = np.maximum(hi - lo, 0.0)
+    return d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0]
+
+
 def build_bvh(tri_pts: np.ndarray, max_leaf: int = MAX_LEAF):
-    """Build a flattened BVH.
+    """Build a flattened BVH with a binned surface-area heuristic.
+
+    Split selection: 16 centroid bins per axis, greedy SAH with the
+    fixed-cost-leaf model above (cost of a child = area-weighted expected
+    node visits + C_LEAF * expected leaf-group visits).  A node becomes a
+    leaf when it fits in one group and no split beats the leaf cost.
+    Degenerate distributions (all centroids equal) fall back to a median
+    split so termination is guaranteed.
 
     Args:
       tri_pts: [F,3,3] f64 triangle vertices (a,b,c).
@@ -55,6 +78,9 @@ def build_bvh(tri_pts: np.ndarray, max_leaf: int = MAX_LEAF):
     """
     n_tris = tri_pts.shape[0]
     centroids = tri_pts.mean(axis=1)
+    # Per-triangle AABBs, reused by every binning pass.
+    tri_lo = tri_pts.min(axis=1)
+    tri_hi = tri_pts.max(axis=1)
 
     los: list[np.ndarray] = []
     his: list[np.ndarray] = []
@@ -71,28 +97,96 @@ def build_bvh(tri_pts: np.ndarray, max_leaf: int = MAX_LEAF):
         counts.append(0)
         return len(skips) - 1
 
+    def subtree_cost(n: int) -> float:
+        """Expected visit cost of a to-be-built subtree with n triangles,
+        relative to one internal-node visit (used only to compare split
+        candidates, so a rough model is fine)."""
+        groups = -(-n // max_leaf)
+        return C_LEAF * groups + max(2 * groups - 1, 1) - groups
+
+    def sah_split(idx: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
+        """Best binned-SAH partition of idx -> (left, right), or None when
+        no split improves on a single leaf (only possible if idx fits one)."""
+        cen = centroids[idx]
+        lo_t, hi_t = tri_lo[idx], tri_hi[idx]
+        best_cost = np.inf
+        best = None
+        for axis in range(3):
+            cmin = cen[:, axis].min()
+            cmax = cen[:, axis].max()
+            if cmax - cmin < 1e-12:
+                continue
+            b = np.minimum(
+                ((cen[:, axis] - cmin) / (cmax - cmin) * SAH_BINS).astype(np.int64),
+                SAH_BINS - 1,
+            )
+            n_b = np.bincount(b, minlength=SAH_BINS)
+            bb_lo = np.full((SAH_BINS, 3), np.inf)
+            bb_hi = np.full((SAH_BINS, 3), -np.inf)
+            np.minimum.at(bb_lo, b, lo_t)
+            np.maximum.at(bb_hi, b, hi_t)
+            # Prefix (left) and suffix (right) counts/bounds over split planes.
+            nl = np.cumsum(n_b)[:-1]
+            nr = len(idx) - nl
+            al = _half_area(
+                np.minimum.accumulate(bb_lo, 0)[:-1],
+                np.maximum.accumulate(bb_hi, 0)[:-1],
+            )
+            ar = _half_area(
+                np.minimum.accumulate(bb_lo[::-1], 0)[::-1][1:],
+                np.maximum.accumulate(bb_hi[::-1], 0)[::-1][1:],
+            )
+            valid = (nl > 0) & (nr > 0)
+            cost = np.where(
+                valid,
+                al * [subtree_cost(n) for n in nl] + ar * [subtree_cost(n) for n in nr],
+                np.inf,
+            )
+            i = int(np.argmin(cost))
+            if cost[i] < best_cost:
+                best_cost = cost[i]
+                best = (axis, cmin, cmax, i)
+        if best is None:
+            # All centroids coincide on every axis: arbitrary median split
+            # (must split when idx exceeds one leaf group).
+            if len(idx) <= max_leaf:
+                return None
+            half = len(idx) // 2
+            return idx[:half], idx[half:]
+        if len(idx) <= max_leaf:
+            # Leaf is allowed: take it unless the best split beats it under
+            # the same cost model (leaf visit = C_LEAF, relative to parent
+            # area = whole node).
+            area = _half_area(lo_t.min(axis=0), hi_t.max(axis=0))
+            if C_LEAF * area <= best_cost + area:  # +area: split adds a node visit
+                return None
+        axis, cmin, cmax, i = best
+        b = np.minimum(
+            ((centroids[idx][:, axis] - cmin) / (cmax - cmin) * SAH_BINS).astype(np.int64),
+            SAH_BINS - 1,
+        )
+        return idx[b <= i], idx[b > i]
+
     import sys
 
     old_limit = sys.getrecursionlimit()
-    sys.setrecursionlimit(max(old_limit, 10000))
+    sys.setrecursionlimit(max(old_limit, 100000))
 
     def build(idx: np.ndarray) -> None:
         my = alloc()
         pts = tri_pts[idx].reshape(-1, 3)
         los[my] = pts.min(axis=0)
         his[my] = pts.max(axis=0)
-        if len(idx) <= max_leaf:
+        split = sah_split(idx) if len(idx) > 1 else None
+        if split is None:
             firsts[my] = len(order)
             counts[my] = len(idx)
             order.extend(idx.tolist())
-            order.extend([-1] * (max_leaf - len(idx)))  # align leaf groups
+            order.extend([-1] * (-len(idx) % max_leaf))  # align leaf groups
         else:
-            cen = centroids[idx]
-            axis = int(np.argmax(cen.max(axis=0) - cen.min(axis=0)))
-            perm = np.argsort(cen[:, axis], kind="stable")
-            half = len(idx) // 2
-            build(idx[perm[:half]])
-            build(idx[perm[half:]])
+            left, right = split
+            build(left)
+            build(right)
         # skip[i] = first node index past i's subtree; when this line runs the
         # whole subtree has been emitted, so that is exactly len(skips).
         skips[my] = len(skips)
