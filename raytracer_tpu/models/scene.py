@@ -102,6 +102,10 @@ class SceneArrays:
     # VMEM-packed forms for the Pallas traversal kernel (ops/pallas).
     bvh_nodes_packed: jnp.ndarray  # [NR,16,128] f32
     bvh_tris_packed: jnp.ndarray  # [TR, 12*MAX_LEAF, 128] f32
+    # Treetop cut (~64 subtree-root AABBs) for the coherence sort key
+    # (ops/bvh.treetop_cut).
+    bvh_cut_lo: jnp.ndarray  # [C,3] f32
+    bvh_cut_hi: jnp.ndarray  # [C,3] f32
 
     # --- Static metadata ---
     name: str = struct.field(pytree_node=False, default="")
@@ -215,9 +219,11 @@ def build_scene_arrays(
         raise ValueError(f"light object {light_idx} in {name!r} has unsupported geometry")
 
     if bvh is not None:
-        from raytracer_tpu.ops.bvh import pack_for_pallas
+        from raytracer_tpu.ops.bvh import pack_for_pallas, treetop_cut
 
         bvh_lo, bvh_hi, bvh_skip, bvh_first, bvh_count = bvh
+        cut_ids = treetop_cut(bvh)
+        cut_lo, cut_hi = bvh_lo[cut_ids], bvh_hi[cut_ids]
         tail = triangles[bvh_tri_start:]
         tri_pts_ordered = np.stack(
             [
@@ -240,6 +246,7 @@ def build_scene_arrays(
         bvh_lo, bvh_hi, bvh_skip, bvh_first, bvh_count = z3, z3, zi, zi, zi
         nodes_packed = np.zeros((1, 16, 128), f)
         tris_packed = np.zeros((1, 12 * MAX_LEAF, 128), f)
+        cut_lo, cut_hi = z3, z3
 
     return SceneArrays(
         sph_pos=jnp.asarray(sph_pos),
@@ -276,6 +283,8 @@ def build_scene_arrays(
         bvh_count=jnp.asarray(bvh_count),
         bvh_nodes_packed=jnp.asarray(nodes_packed),
         bvh_tris_packed=jnp.asarray(tris_packed),
+        bvh_cut_lo=jnp.asarray(cut_lo),
+        bvh_cut_hi=jnp.asarray(cut_hi),
         name=name,
         light_idx=light_idx,
         light_type=light_type,

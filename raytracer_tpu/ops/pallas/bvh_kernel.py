@@ -217,26 +217,21 @@ def bvh_intersect_pallas(
         resolved0 = jnp.zeros((n,), jnp.float32)
     else:
         resolved0 = resolved0.astype(jnp.float32)
-    order, inverse = _coherence_order(
-        ro, rd, scene.bvh_lo[0], scene.bvh_hi[0], eps
-    )
-    ro = ro[order]
-    rd = rd[order]
-    t_init = t_init[order]
-    resolved0 = resolved0[order]
+    order, inverse = _coherence_order(scene, ro, rd, eps)
+    # Pack ray fields BEFORE permuting so the sort costs ONE row gather
+    # (separate ro[order]/rd[order]/... gathers measured ~2x slower).
+    rays8 = jnp.concatenate(
+        [ro, rd, t_init[:, None], resolved0[:, None]], axis=1
+    )  # [N,8]
+    rays8 = jnp.take(rays8, order, axis=0)
 
     g = -(-n // PACKET)
     pad = g * PACKET - n
     if pad:
-        ro = jnp.concatenate([ro, jnp.zeros((pad, 3))], axis=0)
-        rd = jnp.concatenate([rd, jnp.zeros((pad, 3))], axis=0)
-        t_init = jnp.concatenate([t_init, jnp.zeros((pad,))], axis=0)
-        resolved0 = jnp.concatenate([resolved0, jnp.ones((pad,))], axis=0)
-    # [N,3]x2 + [N]x2 -> [G,8,8,128]
-    rays = jnp.concatenate(
-        [ro, rd, t_init[:, None], resolved0[:, None]], axis=1
-    )  # [N,8]
-    rays = rays.reshape(g, 8, 128, 8).transpose(0, 3, 1, 2)
+        # Padded lanes: degenerate rays (d=0 -> slab miss), resolved=1.
+        pad_row = jnp.zeros((pad, 8)).at[:, 7].set(1.0)
+        rays8 = jnp.concatenate([rays8, pad_row], axis=0)
+    rays = rays8.reshape(g, 8, 128, 8).transpose(0, 3, 1, 2)  # [G,8f,8,128]
 
     t, idx = bvh_intersect_pallas_raw(
         rays,
