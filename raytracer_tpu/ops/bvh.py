@@ -55,7 +55,7 @@ def _half_area(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     return d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0]
 
 
-def build_bvh(tri_pts: np.ndarray, max_leaf: int = MAX_LEAF):
+def build_bvh(tri_pts: np.ndarray, max_leaf: int | None = None):
     """Build a flattened BVH with a binned surface-area heuristic.
 
     Split selection: 16 centroid bins per axis, greedy SAH with the
@@ -76,6 +76,8 @@ def build_bvh(tri_pts: np.ndarray, max_leaf: int = MAX_LEAF):
       slots (the Pallas traversal fetches a whole leaf group with one
       dynamic read); ``first`` indexes into that padded layout.
     """
+    if max_leaf is None:
+        max_leaf = MAX_LEAF  # read at call time so sweeps can patch it
     n_tris = tri_pts.shape[0]
     centroids = tri_pts.mean(axis=1)
     # Per-triangle AABBs, reused by every binning pass.

@@ -218,8 +218,9 @@ def _group_ts(
         if t_cap is not None:
             if any_hit:
                 # Lanes already occluded by a sphere/plane/prefix hit need
-                # no mesh confirmation.
-                resolved0 = t_init < t_cap
+                # no mesh confirmation; neither do lanes with a nonpositive
+                # bound (parked/non-NEE lanes pass t_max=0).
+                resolved0 = (t_init < t_cap) | (t_cap <= 0.0)
             t_init = jnp.minimum(t_init, t_cap)
         if use_pallas_bvh():
             from raytracer_tpu.ops.pallas.bvh_kernel import bvh_intersect_pallas

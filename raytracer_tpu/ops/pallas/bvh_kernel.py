@@ -10,12 +10,12 @@ traversal inside ONE Mosaic kernel:
   packet visit counts, not ``n_packets x max``;
 - the complete BVH lives in VMEM: nodes packed [NR,16,128] (node i at
   [i//128, field, i%128]) and leaf triangle groups packed
-  [TR, 12*MAX_LEAF, 128] (MAX_LEAF tris x 12 precomputed
+  [TR, 12*_bvh.MAX_LEAF, 128] (_bvh.MAX_LEAF tris x 12 precomputed
   barycentric-gradient fields per group) — one dynamic sublane-block read
   + one masked lane-reduction fetches a whole node or leaf (no per-lane
   gathers, which Mosaic lacks);
 - rays are [8,128] vregs (8 fields: ro.xyz, rd.xyz, t bound, resolved
-  flag); slab tests and the MAX_LEAF leaf triangle tests are dense VPU
+  flag); slab tests and the _bvh.MAX_LEAF leaf triangle tests are dense VPU
   math; leaf work is guarded by a scalar ``lax.cond``.
 
 Same nearest-hit semantics as ops.bvh.bvh_intersect; parity is tested in
@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from raytracer_tpu.config import Epsilons
-from raytracer_tpu.ops.bvh import MAX_LEAF
+from raytracer_tpu.ops import bvh as _bvh  # _bvh.MAX_LEAF read at call time
 
 PACKET = 1024  # rays per program: [8,128] vregs
 INF = 3.0e38  # python float: jnp constants captured by the kernel are rejected
@@ -42,7 +42,7 @@ INF = 3.0e38  # python float: jnp constants captured by the kernel are rejected
 def _traverse_kernel(
     rays_ref,  # [1,8,8,128] ro.xyz, rd.xyz, t_init, resolved0
     nodes_ref,  # [NR,16,128]
-    tris_ref,  # [TR, 12*MAX_LEAF, 128]
+    tris_ref,  # [TR, 12*_bvh.MAX_LEAF, 128]
     t_ref,  # [1,8,128] out
     i_ref,  # [1,8,128] i32 out
     *,
@@ -61,7 +61,7 @@ def _traverse_kernel(
     ]
 
     node_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 16, 128), 2)
-    tri_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, MAX_LEAF * 12, 128), 2)
+    tri_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, _bvh.MAX_LEAF * 12, 128), 2)
 
     def cond(st):
         return st[0] < n_nodes
@@ -90,10 +90,10 @@ def _traverse_kernel(
 
         def leaf(carry):
             t_best, i_best = carry
-            g = first // MAX_LEAF
-            tb = tris_ref[pl.ds(g // 128, 1), :, :]  # [1,12*MAX_LEAF,128]
-            tf = jnp.sum(jnp.where(tri_lanes == g % 128, tb, 0.0), axis=2)  # [1,12*MAX_LEAF]
-            for j in range(MAX_LEAF):
+            g = first // _bvh.MAX_LEAF
+            tb = tris_ref[pl.ds(g // 128, 1), :, :]  # [1,12*_bvh.MAX_LEAF,128]
+            tf = jnp.sum(jnp.where(tri_lanes == g % 128, tb, 0.0), axis=2)  # [1,12*_bvh.MAX_LEAF]
+            for j in range(_bvh.MAX_LEAF):
                 f = tf[0, 12 * j : 12 * (j + 1)]  # [12]
                 nx, ny, nz, n_d = f[0], f[1], f[2], f[3]
                 q1x, q1y, q1z, q1a = f[4], f[5], f[6], f[7]
@@ -159,7 +159,7 @@ def _traverse_kernel(
 def bvh_intersect_pallas_raw(
     rays: Array,  # [G,8,8,128]
     nodes: Array,  # [NR,16,128]
-    tris: Array,  # [TR,12*MAX_LEAF,128]
+    tris: Array,  # [TR,12*_bvh.MAX_LEAF,128]
     n_nodes: int,
     base: int,
     tri_tmin: float,

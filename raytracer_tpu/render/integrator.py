@@ -125,10 +125,8 @@ def radiance(
         r2 = jnp.maximum(dist * dist, 1e-20)
         # Shadow query bounded at dist - margin: finding a hit below
         # that bound is EXACTLY the reference's invisibility test
-        # hit.t + margin < dist (src/scene.rs:258-270).  (any_hit=True
-        # early exit measured net-negative here: shadow packets mostly
-        # root-cull, and the per-step resolution reduce costs more than
-        # the rare early exits save.)
+        # hit.t + margin < dist (src/scene.rs:258-270).  (any_hit kept off;
+        # see render/wavefront.py for the measurement notes.)
         sh_t, sh_valid = trace_t(
             scene, pre, x, wi_d, eps, t_max=dist - eps.visibility_margin
         )

@@ -47,6 +47,12 @@ from raytracer_tpu.ops.intersect import ScenePre, trace, trace_t
 from raytracer_tpu.render.integrator import sample_light
 
 BIG = jnp.float32(1e30)
+# Parking spot for lanes with no ray to trace this iteration: far outside
+# any reference-scale scene (coords ~1e2), pointing away, so every slab /
+# primitive test misses cheaply and the coherence sort groups parked lanes
+# into miss-packets that exit after one root test.
+PARK_RO = jnp.float32(3.0e7)
+PARK_RD = jnp.array([1.0, 0.0, 0.0], jnp.float32)
 
 
 def render_band_regen(
@@ -125,8 +131,16 @@ def render_band_regen(
         active = active | got
 
         # ---- 2) main trace (camera + continuation rays together) ----
+        # Park dead lanes (all samples done) on a ray far outside every
+        # primitive pointing away: they sort into the miss group and their
+        # BVH packets terminate after one root test, so exhausted lanes
+        # stop paying traversal cost while the band's stragglers finish.
         rays = rays + jnp.sum(active.astype(jnp.int32))
-        hit = trace(scene, pre, ro, rd, eps)
+        a3 = active[:, None]
+        hit = trace(
+            scene, pre,
+            jnp.where(a3, ro, PARK_RO), jnp.where(a3, rd, PARK_RD), eps,
+        )
         valid = active & hit.valid
         done_miss = active & ~hit.valid
 
@@ -158,14 +172,18 @@ def render_band_regen(
         r2 = jnp.maximum(dist * dist, 1e-20)
         nee_lanes = valid & ~is_spec
         rays = rays + jnp.sum(nee_lanes.astype(jnp.int32))
+        nee3 = nee_lanes[:, None]
         # Shadow query bounded at dist - margin: finding a hit below
         # that bound is EXACTLY the reference's invisibility test
         # hit.t + margin < dist (src/scene.rs:258-270).  (any_hit=True
-        # early exit measured net-negative here: shadow packets mostly
-        # root-cull, and the per-step resolution reduce costs more than
-        # the rare early exits save.)
+        # re-measured after the treetop-cut sort: +24% on an all-lanes-live
+        # shadow wavefront in isolation, but a wash in production where
+        # ~half the lanes are parked — unoccluded lanes can never resolve,
+        # so the per-step all-reduce buys exits too rarely.  Kept off.)
         sh_t, sh_valid = trace_t(
-            scene, pre, x, wi_d, eps, t_max=dist - eps.visibility_margin
+            scene, pre,
+            jnp.where(nee3, x, PARK_RO), jnp.where(nee3, wi_d, PARK_RD),
+            eps, t_max=jnp.where(nee_lanes, dist - eps.visibility_margin, 0.0),
         )
         vis = (~sh_valid) | (sh_t + eps.visibility_margin >= dist)
         f_d = brdf.eval_nonspecular(mat, nrm, o, wi_d, scene.has_phong)
