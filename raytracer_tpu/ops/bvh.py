@@ -309,16 +309,15 @@ def _morton12(p: Array, lo: Array, hi: Array) -> Array:
     return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
 
 
-def _coherence_order(scene, ro: Array, rd: Array, eps: Epsilons):
-    """Sort key grouping rays into coherent packets.
+def _coherence_key(scene, ro: Array, rd: Array, eps: Epsilons) -> Array:
+    """Traversal-coherence sort key [N] i32 (smaller sorts first).
 
-    Primary key: the treetop-cut subtree the ray ENTERS FIRST (nearest slab
+    Primary: the treetop-cut subtree the ray ENTERS FIRST (nearest slab
     entry among the ~64 cut nodes; see ``treetop_cut``) — rays in a packet
     then genuinely share their descent, instead of merely being near each
     other in origin space.  Missing rays sort last (their packets terminate
     after one root test).  Secondary: direction octant; tertiary: 12-bit
-    Morton code of the origin (ties within a subtree).  Returns
-    (order, inverse-order).
+    Morton code of the origin (ties within a subtree).
     """
     clo, chi = scene.bvh_cut_lo, scene.bvh_cut_hi  # [C,3]
     root_lo, root_hi = scene.bvh_lo[0], scene.bvh_hi[0]
@@ -340,8 +339,14 @@ def _coherence_order(scene, ro: Array, rd: Array, eps: Epsilons):
     # finer direction quantization (measured: inserting a 6-bit direction
     # Morton between them cost 30% on flying_unicorn — rays from the same
     # surface patch share traversal prefixes regardless of direction).
-    key = (miss << 30) | (entry << 17) | (octant << 13) | _morton12(ro, root_lo, root_hi)
-    order = jnp.argsort(key)
+    return (miss << 30) | (entry << 17) | (octant << 13) | _morton12(
+        ro, root_lo, root_hi
+    )
+
+
+def _coherence_order(scene, ro: Array, rd: Array, eps: Epsilons):
+    """(order, inverse-order) permutations from ``_coherence_key``."""
+    order = jnp.argsort(_coherence_key(scene, ro, rd, eps))
     # inverse[order[i]] = i via scatter — cheaper than a second argsort.
     n = order.shape[0]
     inverse = jnp.zeros((n,), jnp.int32).at[order].set(
@@ -358,6 +363,7 @@ def bvh_intersect(
     t_init: Array | None = None,
     any_hit: bool = False,
     resolved0: Array | None = None,
+    presorted: bool = False,
 ):
     """Nearest BVH-triangle hit per ray via *packet traversal*.
 
@@ -405,11 +411,14 @@ def bvh_intersect(
         resolved0 = jnp.zeros((n,), bool)
     # Coherence sort: root-box cull + (cut-subtree, octant, origin-Morton)
     # clustering keeps packet unions small for incoherent bounce wavefronts.
-    order, inverse = _coherence_order(scene, ro, rd, eps)
-    ro = ro[order]
-    rd = rd[order]
-    t_init = t_init[order]
-    resolved0 = resolved0[order]
+    # ``presorted`` callers (the streaming engine permutes its whole lane
+    # state by the same key each iteration) skip the sort AND the unsort.
+    if not presorted:
+        order, inverse = _coherence_order(scene, ro, rd, eps)
+        ro = ro[order]
+        rd = rd[order]
+        t_init = t_init[order]
+        resolved0 = resolved0[order]
 
     g = -(-n // BLOCK)
     pad = g * BLOCK - n
@@ -475,7 +484,11 @@ def bvh_intersect(
         ),
     )
     # Undo the coherence sort.  Lanes still at t_init found no closer hit.
-    return t_best.reshape(-1)[:n][inverse], i_best.reshape(-1)[:n][inverse]
+    t_best = t_best.reshape(-1)[:n]
+    i_best = i_best.reshape(-1)[:n]
+    if presorted:
+        return t_best, i_best
+    return t_best[inverse], i_best[inverse]
 
 
 def _tri_hit_packet(ro, rd, a, b, c, eps: Epsilons):

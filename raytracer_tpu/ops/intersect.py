@@ -173,6 +173,7 @@ def _group_ts(
     eps: Epsilons,
     t_cap: Array | None = None,
     any_hit: bool = False,
+    presorted: bool = False,
 ):
     """Per-group (nearest t [N], argmin [N]) with empty groups compiled out.
 
@@ -228,6 +229,7 @@ def _group_ts(
             bt, bidx = bvh_intersect_pallas(
                 scene, ro, rd, eps, t_init=t_init,
                 any_hit=any_hit and t_cap is not None, resolved0=resolved0,
+                presorted=presorted,
             )
         else:
             from raytracer_tpu.ops.bvh import bvh_intersect
@@ -235,6 +237,7 @@ def _group_ts(
             bt, bidx = bvh_intersect(
                 scene, ro, rd, eps, t_init=t_init,
                 any_hit=any_hit and t_cap is not None, resolved0=resolved0,
+                presorted=presorted,
             )
         use_b = bt < tt_best
         tt_best = jnp.where(use_b, bt, tt_best)
@@ -255,6 +258,7 @@ def trace_t(
     eps: Epsilons,
     t_max: Array | None = None,
     any_hit: bool = False,
+    presorted: bool = False,
 ):
     """Nearest-hit distance only -> (t [N], valid [N]).
 
@@ -268,7 +272,8 @@ def trace_t(
     sub-cap hit (the returned t then proves occlusion but isn't nearest).
     """
     (ts, _), (tp, _), (tt, _) = _group_ts(
-        scene, pre, ro, rd, eps, t_cap=t_max, any_hit=any_hit
+        scene, pre, ro, rd, eps, t_cap=t_max, any_hit=any_hit,
+        presorted=presorted,
     )
     t = jnp.minimum(jnp.minimum(ts, tp), tt)
     return t, t < INF
@@ -281,6 +286,7 @@ def trace(
     rd: Array,
     eps: Epsilons,
     t_cap: Array | None = None,
+    presorted: bool = False,
 ) -> Hit:
     """Nearest hit of each ray against the whole scene.
 
@@ -291,7 +297,7 @@ def trace(
     answer (fused shadow queries) pass their bound here.
     """
     (ts_best, ts_arg), (tp_best, tp_arg), (tt_best, tt_arg) = _group_ts(
-        scene, pre, ro, rd, eps, t_cap=t_cap
+        scene, pre, ro, rd, eps, t_cap=t_cap, presorted=presorted
     )
 
     group_t = jnp.stack([ts_best, tp_best, tt_best], axis=0)  # [3,N]

@@ -200,13 +200,15 @@ def bvh_intersect_pallas(
     scene, ro: Array, rd: Array, eps: Epsilons,
     t_init: Array | None = None, any_hit: bool = False,
     resolved0: Array | None = None, interpret: bool = False,
+    presorted: bool = False,
 ):
     """Nearest BVH hit via the Pallas kernel -> (t[N], global tri idx[N]).
 
     Applies the same root-cull + coherence sort as the XLA path, reshapes
     rays into [G,8,8,128] packets (fields 6/7 = per-ray t bound and
     already-resolved flag; see ops.bvh.bvh_intersect for the pruning
-    contract), and unsorts the results.
+    contract), and unsorts the results.  ``presorted`` callers (the
+    streaming engine permutes its lane state by the same key) skip both.
     """
     from raytracer_tpu.ops.bvh import _coherence_order
 
@@ -217,13 +219,14 @@ def bvh_intersect_pallas(
         resolved0 = jnp.zeros((n,), jnp.float32)
     else:
         resolved0 = resolved0.astype(jnp.float32)
-    order, inverse = _coherence_order(scene, ro, rd, eps)
     # Pack ray fields BEFORE permuting so the sort costs ONE row gather
     # (separate ro[order]/rd[order]/... gathers measured ~2x slower).
     rays8 = jnp.concatenate(
         [ro, rd, t_init[:, None], resolved0[:, None]], axis=1
     )  # [N,8]
-    rays8 = jnp.take(rays8, order, axis=0)
+    if not presorted:
+        order, inverse = _coherence_order(scene, ro, rd, eps)
+        rays8 = jnp.take(rays8, order, axis=0)
 
     g = -(-n // PACKET)
     pad = g * PACKET - n
@@ -244,6 +247,9 @@ def bvh_intersect_pallas(
         any_hit=any_hit,
         interpret=interpret,
     )
-    t = t.reshape(-1)[:n][inverse]
-    idx = idx.reshape(-1)[:n][inverse]
+    t = t.reshape(-1)[:n]
+    idx = idx.reshape(-1)[:n]
+    if not presorted:
+        t = t[inverse]
+        idx = idx[inverse]
     return t, jnp.clip(idx, 0, scene.tri_a.shape[0] - 1)

@@ -74,24 +74,16 @@ def render_band_regen(
     light_e = scene.obj_emitted[scene.light_idx]
     num_samples = jnp.asarray(num_samples, jnp.int32)
 
-    # Static per-lane pixel/subpixel coordinates.
-    lane = jnp.arange(n, dtype=jnp.int32)
-    pix = lane // 4
-    sub = lane % 4
-    lane_px = (pix % w).astype(jnp.float32)
-    lane_py_off = (pix // w).astype(jnp.float32)
-    lane_sx = (sub % 2).astype(jnp.float32)
-    lane_sy = (sub // 2).astype(jnp.float32)
-
     # Safety cap; RR terminates the while-loop far earlier in practice.
     hard_cap = num_samples * (cfg.max_depth + 2) + 64
 
     # RNG draw layout (threefry/rbg bits cost ~a trace per bounce, so only
-    # draw what this scene's static material/light mix consumes):
-    # [jitter_x, jitter_y, light..., rr, bsdf...].
+    # draw what this scene's static material/light mix consumes).  Camera
+    # jitter is drawn pre-permutation (fold 2*it), the shading draws post
+    # (fold 2*it+1): [light..., rr, bsdf...].
     light_draws = 3 if scene.light_type != 0 else 2  # mesh lights pick a tri
     bsdf_draws = 3 if scene.has_phong else 2
-    i_light = 2
+    i_light = 0
     i_rr = i_light + light_draws
     i_bsdf = i_rr + 1
     n_draws = i_bsdf + bsdf_draws
@@ -103,19 +95,23 @@ def render_band_regen(
         return (it < hard_cap) & jnp.any(active | (j < num_samples))
 
     def body(st):
-        (it, rays, active, j, depth, ro, rd, L, beta, emis, pdf_prev, acc) = st
-        us = jax.random.uniform(jax.random.fold_in(key, it), (n_draws, n))
-        # Unused third draws (sphere lights / non-Phong BSDFs) alias an
-        # earlier lane — the consuming code statically ignores them.
-        u_light3 = us[i_light + 2] if light_draws == 3 else us[i_light]
-        u_bsdf3 = us[i_bsdf + 2] if bsdf_draws == 3 else us[i_bsdf]
+        (it, rays, active, j, slot, depth, ro, rd, L, beta, emis, pdf_prev,
+         acc) = st
 
         # ---- 1) regenerate: idle lanes start their next sample ----
+        # Pixel/subpixel coordinates derive from the lane's carried SLOT id
+        # (lanes migrate under the coherence permutation below; their
+        # pixel identity travels with them).
+        pix = slot // 4
+        sub = slot % 4
+        jit = jax.random.uniform(jax.random.fold_in(key, 2 * it), (2, n))
         got = ~active & (j < num_samples)
         cro, crd = camera_rays(
             scene, cfg.width, cfg.height, cfg.fov_scale,
-            lane_px, y0.astype(jnp.float32) + lane_py_off,
-            lane_sx, lane_sy, us[0], us[1],
+            (pix % w).astype(jnp.float32),
+            y0.astype(jnp.float32) + (pix // w).astype(jnp.float32),
+            (sub % 2).astype(jnp.float32), (sub // 2).astype(jnp.float32),
+            jit[0], jit[1],
         )
         g3 = got[:, None]
         ro = jnp.where(g3, cro, ro)
@@ -130,17 +126,57 @@ def render_band_regen(
         j = jnp.where(got, j + 1, j)
         active = active | got
 
-        # ---- 2) main trace (camera + continuation rays together) ----
+        # ---- 1b) park + persistent coherence permutation ----
         # Park dead lanes (all samples done) on a ray far outside every
         # primitive pointing away: they sort into the miss group and their
         # BVH packets terminate after one root test, so exhausted lanes
         # stop paying traversal cost while the band's stragglers finish.
-        rays = rays + jnp.sum(active.astype(jnp.int32))
         a3 = active[:, None]
-        hit = trace(
-            scene, pre,
-            jnp.where(a3, ro, PARK_RO), jnp.where(a3, rd, PARK_RD), eps,
+        ro = jnp.where(a3, ro, PARK_RO)
+        rd = jnp.where(a3, rd, PARK_RD)
+        if scene.use_bvh:
+            # Permute the WHOLE lane state by the traversal-coherence key
+            # once per iteration; the main trace then runs presorted (no
+            # per-trace sort/unsort) and the NEE shadow trace inherits the
+            # order (shadow origins are the sorted main hits).  Cheaper
+            # than the two independent sort+unsort cycles it replaces.
+            from raytracer_tpu.ops.bvh import _coherence_key
+
+            order = jnp.argsort(_coherence_key(scene, ro, rd, eps))
+            # ONE row gather of the packed state: separate per-array takes
+            # measured 42ms vs ~6ms packed (TPU gathers amortize over the
+            # 92B row, not per element).  Small ints are exact in f32.
+            cols = jnp.concatenate(
+                [
+                    active[:, None].astype(jnp.float32),
+                    j[:, None].astype(jnp.float32),
+                    slot[:, None].astype(jnp.float32),
+                    depth[:, None].astype(jnp.float32),
+                    ro, rd, L, beta, emis,
+                    pdf_prev[:, None], acc,
+                ],
+                axis=1,
+            )  # [N,23]
+            cols = jnp.take(cols, order, axis=0)
+            active = cols[:, 0] > 0.5
+            j = cols[:, 1].astype(jnp.int32)
+            slot = cols[:, 2].astype(jnp.int32)
+            depth = cols[:, 3].astype(jnp.int32)
+            ro, rd, L = cols[:, 4:7], cols[:, 7:10], cols[:, 10:13]
+            beta, emis = cols[:, 13:16], cols[:, 16:19]
+            pdf_prev, acc = cols[:, 19], cols[:, 20:23]
+
+        # ---- 2) main trace (camera + continuation rays together) ----
+        rays = rays + jnp.sum(active.astype(jnp.int32))
+        us = jax.random.uniform(
+            jax.random.fold_in(key, 2 * it + 1), (n_draws, n)
         )
+        # Unused third draws (sphere lights / non-Phong BSDFs) alias an
+        # earlier lane — the consuming code statically ignores them.
+        u_light3 = us[i_light + 2] if light_draws == 3 else us[i_light]
+        u_bsdf3 = us[i_bsdf + 2] if bsdf_draws == 3 else us[i_bsdf]
+
+        hit = trace(scene, pre, ro, rd, eps, presorted=scene.use_bvh)
         valid = active & hit.valid
         done_miss = active & ~hit.valid
 
@@ -180,6 +216,9 @@ def render_band_regen(
         # shadow wavefront in isolation, but a wash in production where
         # ~half the lanes are parked — unoccluded lanes can never resolve,
         # so the per-step all-reduce buys exits too rarely.  Kept off.)
+        # Shadow rays sort by their OWN key: inheriting the main-ray order
+        # measured +8ms — occluded/clear lanes interleave and the packet
+        # unions blow up, costing more than the argsort saves.
         sh_t, sh_valid = trace_t(
             scene, pre,
             jnp.where(nee3, x, PARK_RO), jnp.where(nee3, wi_d, PARK_RD),
@@ -238,13 +277,15 @@ def render_band_regen(
         beta = beta_next
         ro = jnp.where(live[:, None], x, ro)
         rd = jnp.where(live[:, None], wi, rd)
-        return (it + 1, rays, active, j, depth, ro, rd, L, beta, emis, pdf_prev, acc)
+        return (it + 1, rays, active, j, slot, depth, ro, rd, L, beta, emis,
+                pdf_prev, acc)
 
     st = (
         jnp.int32(0),
         jnp.int32(0),
         jnp.zeros(n, bool),
         jnp.zeros(n, jnp.int32),
+        jnp.arange(n, dtype=jnp.int32),  # slot: lane -> (pixel, subpixel)
         jnp.zeros(n, jnp.int32),
         zero3,
         zero3,
@@ -255,5 +296,9 @@ def render_band_regen(
         zero3,
     )
     out = jax.lax.while_loop(cond, body, st)
-    rays, acc = out[1], out[11]
+    rays, slot, acc = out[1], out[4], out[12]
+    if scene.use_bvh:
+        # Lanes migrated under the per-iteration permutation; scatter their
+        # banked radiance back to slot order.
+        acc = jnp.zeros_like(acc).at[slot].set(acc, unique_indices=True)
     return acc.reshape(rows, w, 4, 3), rays
