@@ -1,12 +1,16 @@
-"""Benchmark harness: Mrays/s/chip + wall-clock to 256 spp (cornell_box 600x450).
+"""Benchmark harness: Mrays/s/chip + wall-clock across the BASELINE configs.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints ONE JSON line.  The headline metric is the BASELINE.md target
+(cornell_box 600x450 @256spp, NEE); the `configs` field tracks the other
+benchmark configs (cornell MIS, cubes, flying_unicorn mesh) so the mesh
+frontier is recorded every round, not just the best case.
 
 The reference publishes no numbers (BASELINE.md), so the CPU baseline is
 measured here: the same wavefront estimator compiled for the multithreaded
 host CPU (XLA CPU uses all cores), which stands in for the reference's
-``available_parallelism()`` Rust thread pool.  The CPU number is cached in
-BASELINE_CPU.json; delete it (or set RT_BENCH_CPU=1) to remeasure.
+``available_parallelism()`` Rust thread pool.  Baselines are cached in
+BASELINE_CPU.json; delete it (or set RT_BENCH_CPU=1) to remeasure.  If a
+baseline cannot be measured, ``vs_baseline`` is null — never fabricated.
 
 Ray counting matches how the reference's loop would count: one camera ray
 per sample, plus per bounce one shadow ray per live non-specular lane and
@@ -22,8 +26,15 @@ import sys
 import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-SPP = 256
 CPU_BASELINE_FILE = os.path.join(HERE, "BASELINE_CPU.json")
+
+# (key, scene, spp, use_mis)
+CONFIGS = [
+    ("cornell_256_nee", "cornell_box", 256, False),  # headline
+    ("cornell_256_mis", "cornell_box", 256, True),
+    ("cubes_64", "cubes", 64, False),
+    ("flying_unicorn_16", "flying_unicorn", 16, False),
+]
 
 CPU_SCRIPT = r"""
 import json, os, sys, time
@@ -34,77 +45,112 @@ from raytracer_tpu.config import RenderConfig
 from raytracer_tpu.models.loader import load_scene
 from raytracer_tpu.render.renderer import Renderer
 
-scene = load_scene(os.path.join(%(here)r, "scenes", "cornell_box.toml"))
+name = %(scene)r
+scene = load_scene(os.path.join(%(here)r, "scenes", name + ".toml"))
 r = Renderer(scene, RenderConfig())
 spp = 4
-r.render_image(spp)          # warm up / compile
-r.ray_counts.clear()
-t0 = time.time()
-r.render_image(spp)
-dt = time.time() - t0
+if name == "flying_unicorn":
+    # Full-frame mesh renders take hours on one CPU core; a band of rows is
+    # enough to measure Mrays/s (same estimator, same BVH path).
+    rows, k, n = r.plan(spp)
+    r.render_band_sums(0, rows, k, 1)  # warm up / compile
+    r.ray_counts.clear()
+    t0 = time.time()
+    out = r.render_band_sums(0, rows, k, 1)
+    out.block_until_ready()
+    dt = time.time() - t0
+else:
+    r.render_image(spp)
+    r.ray_counts.clear()
+    t0 = time.time()
+    r.render_image(spp)
+    dt = time.time() - t0
 rays = r.rays_traced()
 print(json.dumps({"mrays_per_s": rays / dt / 1e6, "rays": rays, "seconds": dt}))
 """
 
 
-def cpu_baseline() -> dict:
-    if os.path.exists(CPU_BASELINE_FILE) and os.environ.get("RT_BENCH_CPU") != "1":
+def cpu_baseline(scene: str) -> dict | None:
+    """Measured CPU Mrays/s for a scene (cached); None when unmeasurable."""
+    cache: dict = {}
+    if os.path.exists(CPU_BASELINE_FILE):
         with open(CPU_BASELINE_FILE) as fh:
-            return json.load(fh)
-    out = subprocess.run(
-        [sys.executable, "-c", CPU_SCRIPT % {"here": HERE}],
-        capture_output=True, text=True, timeout=3600,
-    )
-    line = out.stdout.strip().splitlines()[-1]
-    data = json.loads(line)
+            cache = json.load(fh)
+        if "mrays_per_s" in cache:  # legacy single-config schema
+            cache = {"cornell_box": cache}
+    if scene in cache and os.environ.get("RT_BENCH_CPU") != "1":
+        return cache[scene]
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", CPU_SCRIPT % {"here": HERE, "scene": scene}],
+            capture_output=True, text=True, timeout=3600,
+        )
+        data = json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
+    cache[scene] = data
     with open(CPU_BASELINE_FILE, "w") as fh:
-        json.dump(data, fh)
+        json.dump(cache, fh, indent=1)
     return data
+
+
+def run_config(scene_name: str, spp: int, use_mis: bool) -> dict:
+    from raytracer_tpu.config import RenderConfig
+    from raytracer_tpu.models.loader import load_scene
+    from raytracer_tpu.render.renderer import Renderer
+
+    cfg = RenderConfig(use_mis=use_mis)
+    scene = load_scene(os.path.join(HERE, "scenes", scene_name + ".toml"))
+    r = Renderer(scene, cfg)
+    r.render_image(spp)  # warm up: compile every shape the schedule uses
+    r.ray_counts.clear()
+    t0 = time.time()
+    img = r.render_image(spp)
+    wall = time.time() - t0
+    assert img is not None and img.shape == (450, 600, 3)
+    rays = r.rays_traced()
+    return {
+        "mrays_per_s": round(rays / wall / 1e6, 2),
+        "wall_s": round(wall, 2),
+        "rays": rays,
+    }
 
 
 def main() -> None:
     sys.path.insert(0, HERE)
-    from raytracer_tpu.config import RenderConfig
-    from raytracer_tpu.models.loader import load_scene
-    from raytracer_tpu.render.renderer import Renderer
     from raytracer_tpu.utils.platform import enable_compilation_cache
 
     enable_compilation_cache()
 
-    scene = load_scene(os.path.join(HERE, "scenes", "cornell_box.toml"))
-    r = Renderer(scene, RenderConfig())
+    results = {}
+    for key, scene, spp, mis in CONFIGS:
+        results[key] = run_config(scene, spp, mis)
 
-    # Warm up: compile every shape the 256-spp schedule uses.
-    r.render_image(SPP)
-    r.ray_counts.clear()
-
-    t0 = time.time()
-    img = r.render_image(SPP)
-    wall = time.time() - t0
-    assert img is not None and img.shape == (450, 600, 3)
-
-    rays = r.rays_traced()
-    mrays = rays / wall / 1e6
-
-    try:
-        cpu = cpu_baseline()
-        vs = mrays / cpu["mrays_per_s"]
-    except Exception:
-        cpu = None
-        vs = mrays / 100.0  # fall back to the 100 Mrays/s driver target
+    headline = results["cornell_256_nee"]
+    cpu = cpu_baseline("cornell_box")
+    vs = round(headline["mrays_per_s"] / cpu["mrays_per_s"], 2) if cpu else None
+    cpu_mesh = cpu_baseline("flying_unicorn")
+    if cpu_mesh:
+        results["flying_unicorn_16"]["vs_cpu"] = round(
+            results["flying_unicorn_16"]["mrays_per_s"] / cpu_mesh["mrays_per_s"], 2
+        )
 
     print(
         json.dumps(
             {
                 "metric": "Mrays/s/chip, cornell_box 600x450@256spp (NEE path)",
-                "value": round(mrays, 2),
+                "value": headline["mrays_per_s"],
                 "unit": "Mrays/s",
-                "vs_baseline": round(vs, 2),
-                "wall_clock_to_256spp_s": round(wall, 2),
-                "rays_traced": rays,
+                "vs_baseline": vs,
+                "wall_clock_to_256spp_s": headline["wall_s"],
+                "rays_traced": headline["rays"],
                 "cpu_baseline_mrays_per_s": (
                     round(cpu["mrays_per_s"], 3) if cpu else None
                 ),
+                "cpu_baseline_mesh_mrays_per_s": (
+                    round(cpu_mesh["mrays_per_s"], 3) if cpu_mesh else None
+                ),
+                "configs": results,
             }
         )
     )

@@ -267,7 +267,7 @@ def pack_for_pallas(
     return nodes, tris
 
 
-def treetop_cut(bvh, max_cut: int = 64) -> np.ndarray:
+def treetop_cut(bvh, max_cut: int = 32) -> np.ndarray:
     """Treetop cut: node ids of ~``max_cut`` disjoint subtrees covering the
     tree, chosen by greedily expanding the largest-surface-area internal
     node.  The coherence sort uses the cut as its primary key: rays that

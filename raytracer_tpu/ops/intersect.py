@@ -159,10 +159,30 @@ class ScenePre(NamedTuple):
     """Loop-invariant precomputed intersection data for a scene."""
 
     tri: TriPre
+    # Combined hit-attribute table [S+P+T, 4]: per row a 3-vector (sphere
+    # center / plane normal / triangle unit normal) and the object id as
+    # f32 (exact below 2^24).  trace() gathers the winner's attributes
+    # with ONE row gather instead of three per-group gathers + selects.
+    att: Array
 
 
 def scene_precompute(scene: SceneArrays) -> ScenePre:
-    return ScenePre(tri=tri_precompute(scene.tri_a, scene.tri_b, scene.tri_c))
+    tri = tri_precompute(scene.tri_a, scene.tri_b, scene.tri_c)
+    att = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [scene.sph_pos, scene.sph_obj[:, None].astype(jnp.float32)], axis=1
+            ),
+            jnp.concatenate(
+                [scene.pln_n, scene.pln_obj[:, None].astype(jnp.float32)], axis=1
+            ),
+            jnp.concatenate(
+                [tri.n_unit, scene.tri_obj[:, None].astype(jnp.float32)], axis=1
+            ),
+        ],
+        axis=0,
+    )
+    return ScenePre(tri=tri, att=att)
 
 
 def _group_ts(
@@ -305,16 +325,20 @@ def trace(
     t_best = jnp.min(group_t, axis=0)
     valid = t_best < INF
 
-    # Per-group hit attributes at the winning primitive.
+    # Winning primitive's attributes: ONE row gather from the combined
+    # table (three per-group gathers + selects measured ~2x the cost).
     pos_raw = ro + t_best[:, None] * rd
-    sc = scene.sph_pos[ts_arg]  # [N,3]
-    n_sph = vm.normalize(pos_raw - sc, eps=1e-20)
-    n_pln = scene.pln_n[tp_arg]
-    n_tri = pre.tri.n_unit[tt_arg]
-
-    n_geo = jnp.where(
-        (group == 0)[:, None], n_sph, jnp.where((group == 1)[:, None], n_pln, n_tri)
+    s_off = scene.sph_pos.shape[0]
+    p_off = s_off + scene.pln_pos.shape[0]
+    idx = jnp.where(
+        group == 0, ts_arg, jnp.where(group == 1, s_off + tp_arg, p_off + tt_arg)
     )
+    row = jnp.take(pre.att, idx, axis=0)  # [N,4]
+    v3 = row[:, :3]  # sphere center / plane normal / triangle normal
+    obj = row[:, 3].astype(jnp.int32)
+
+    n_sph = vm.normalize(pos_raw - v3, eps=1e-20)
+    n_geo = jnp.where((group == 0)[:, None], n_sph, v3)
     n_ff = vm.face_forward(n_geo, -rd)
 
     # Hit-position offset along the normal: the reference offsets plane and
@@ -322,9 +346,4 @@ def trace(
     offset = jnp.where(group == 0, 0.0, eps.hit_offset)[:, None] * n_ff
     pos = pos_raw + offset
 
-    obj = jnp.where(
-        group == 0,
-        scene.sph_obj[ts_arg],
-        jnp.where(group == 1, scene.pln_obj[tp_arg], scene.tri_obj[tt_arg]),
-    )
     return Hit(t=t_best, pos=pos, n=n_ff, obj=obj, valid=valid)
