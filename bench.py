@@ -50,13 +50,14 @@ scene = load_scene(os.path.join(%(here)r, "scenes", name + ".toml"))
 r = Renderer(scene, RenderConfig())
 spp = 4
 if name == "flying_unicorn":
-    # Full-frame mesh renders take hours on one CPU core; a band of rows is
-    # enough to measure Mrays/s (same estimator, same BVH path).
-    rows, k, n = r.plan(spp)
-    r.render_band_sums(0, rows, k, 1)  # warm up / compile
+    # Full-frame (even full-band) mesh renders take HOURS on one CPU core;
+    # a short row band is enough to measure Mrays/s (same estimator, same
+    # XLA BVH packet-traversal path the CPU would serve users with).
+    rows = 9  # divisor of 450 -> reuses a shape the band scheduler allows
+    r.render_band_sums(0, rows, 1, 1)  # warm up / compile
     r.ray_counts.clear()
     t0 = time.time()
-    out = r.render_band_sums(0, rows, k, 1)
+    out = r.render_band_sums(0, rows, 1, 1)
     out.block_until_ready()
     dt = time.time() - t0
 else:
@@ -131,8 +132,13 @@ def main() -> None:
     vs = round(headline["mrays_per_s"] / cpu["mrays_per_s"], 2) if cpu else None
     cpu_mesh = cpu_baseline("flying_unicorn")
     if cpu_mesh:
-        results["flying_unicorn_16"]["vs_cpu"] = round(
-            results["flying_unicorn_16"]["mrays_per_s"] / cpu_mesh["mrays_per_s"], 2
+        # Honesty note: this measures OUR CPU fallback (XLA packet
+        # traversal, which dense-tests a whole 64-slot leaf per node visit
+        # — a TPU-shaped algorithm that is pathological on one CPU core).
+        # It is NOT a fair proxy for the reference's per-ray Rust octree,
+        # so the ratio is reported as an upper bound, not a speedup claim.
+        results["flying_unicorn_16"]["vs_own_cpu_fallback_upper_bound"] = round(
+            results["flying_unicorn_16"]["mrays_per_s"] / cpu_mesh["mrays_per_s"], 1
         )
 
     print(
@@ -148,7 +154,7 @@ def main() -> None:
                     round(cpu["mrays_per_s"], 3) if cpu else None
                 ),
                 "cpu_baseline_mesh_mrays_per_s": (
-                    round(cpu_mesh["mrays_per_s"], 3) if cpu_mesh else None
+                    round(cpu_mesh["mrays_per_s"], 6) if cpu_mesh else None
                 ),
                 "configs": results,
             }

@@ -10,13 +10,19 @@ traversal inside ONE Mosaic kernel:
   packet visit counts, not ``n_packets x max``;
 - the complete BVH lives in VMEM: nodes packed [NR,16,128] (node i at
   [i//128, field, i%128]) and leaf triangle groups packed
-  [TR, 12*_bvh.MAX_LEAF, 128] (_bvh.MAX_LEAF tris x 12 precomputed
+  [TR, 12*MAX_LEAF, 128] (MAX_LEAF tris x 12 precomputed
   barycentric-gradient fields per group) — one dynamic sublane-block read
   + one masked lane-reduction fetches a whole node or leaf (no per-lane
   gathers, which Mosaic lacks);
 - rays are [8,128] vregs (8 fields: ro.xyz, rd.xyz, t bound, resolved
-  flag); slab tests and the _bvh.MAX_LEAF leaf triangle tests are dense VPU
+  flag); slab tests and the MAX_LEAF leaf triangle tests are dense VPU
   math; leaf work is guarded by a scalar ``lax.cond``.
+
+A per-sublane-row variant (8 independent 128-ray subpackets per program,
+SMEM links + row-layout tables) was built and measured SLOWER (74 vs
+54 ms per 1M coherent rays): the treetop-cut coherence sort already
+removes the union-descent waste per-row pointers target, and the 8x
+dynamic sublane fetches + scalar extracts cost more than they save.
 
 Same nearest-hit semantics as ops.bvh.bvh_intersect; parity is tested in
 interpret mode (tests/test_pallas_bvh.py).
@@ -42,7 +48,7 @@ INF = 3.0e38  # python float: jnp constants captured by the kernel are rejected
 def _traverse_kernel(
     rays_ref,  # [1,8,8,128] ro.xyz, rd.xyz, t_init, resolved0
     nodes_ref,  # [NR,16,128]
-    tris_ref,  # [TR, 12*_bvh.MAX_LEAF, 128]
+    tris_ref,  # [TR, 12*MAX_LEAF, 128]
     t_ref,  # [1,8,128] out
     i_ref,  # [1,8,128] i32 out
     *,
@@ -91,8 +97,8 @@ def _traverse_kernel(
         def leaf(carry):
             t_best, i_best = carry
             g = first // _bvh.MAX_LEAF
-            tb = tris_ref[pl.ds(g // 128, 1), :, :]  # [1,12*_bvh.MAX_LEAF,128]
-            tf = jnp.sum(jnp.where(tri_lanes == g % 128, tb, 0.0), axis=2)  # [1,12*_bvh.MAX_LEAF]
+            tb = tris_ref[pl.ds(g // 128, 1), :, :]  # [1,12*MAX_LEAF,128]
+            tf = jnp.sum(jnp.where(tri_lanes == g % 128, tb, 0.0), axis=2)  # [1,12*MAX_LEAF]
             for j in range(_bvh.MAX_LEAF):
                 f = tf[0, 12 * j : 12 * (j + 1)]  # [12]
                 nx, ny, nz, n_d = f[0], f[1], f[2], f[3]
@@ -159,7 +165,7 @@ def _traverse_kernel(
 def bvh_intersect_pallas_raw(
     rays: Array,  # [G,8,8,128]
     nodes: Array,  # [NR,16,128]
-    tris: Array,  # [TR,12*_bvh.MAX_LEAF,128]
+    tris: Array,  # [TR,12*MAX_LEAF,128]
     n_nodes: int,
     base: int,
     tri_tmin: float,

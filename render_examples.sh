@@ -3,7 +3,7 @@
 # reference's stale render_examples.sh whose CLI flags don't exist).
 set -euo pipefail
 mkdir -p examples_out
-for scene in cornell_box cubes; do
+for scene in cornell_box cubes crewmate_phong; do
   python -m raytracer_tpu.tools.render "scenes/${scene}.toml" \
     --spp 64 --out "examples_out/${scene}.png"
 done

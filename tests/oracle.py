@@ -34,7 +34,12 @@ class Oracle:
         self.objects = []
         for spec in doc["objects"]:
             g = spec["geometry"]
-            assert g["type"] in ("sphere", "plane"), "oracle supports spheres/planes"
+            # "triangles" is a test-only kind: explicit [[a,b,c], ...]
+            # vertex triples, so tests can hand the SAME geometry to the
+            # oracle and to build_scene_arrays without sharing loader code.
+            assert g["type"] in ("sphere", "plane", "triangles"), (
+                "oracle supports spheres/planes/explicit triangles"
+            )
             self.objects.append(
                 dict(
                     emitted=np.asarray(spec.get("emitted", [0, 0, 0]), float),
@@ -70,7 +75,7 @@ class Oracle:
                 n = _norm(pos - c)
                 if n @ rd > 0:
                     n = -n
-            else:
+            elif g["type"] == "plane":
                 p = np.asarray(g["pos"], float)
                 n0 = np.asarray(g["n"], float)
                 dn = rd @ n0
@@ -81,6 +86,31 @@ class Oracle:
                     continue
                 n = n0 if (n0 @ rd) <= 0 else -n0
                 pos = ro + t * rd + n * 1e-5
+            else:  # triangles
+                t = None
+                for tri in g["tris"]:
+                    a = np.asarray(tri[0], float)
+                    e1 = np.asarray(tri[1], float) - a
+                    e2 = np.asarray(tri[2], float) - a
+                    ng = np.cross(e1, e2)
+                    nu = ng / np.linalg.norm(ng)
+                    dn = rd @ nu
+                    if abs(dn) < 1e-4:
+                        continue
+                    tt = ((a - ro) @ nu) / dn
+                    if tt <= 1e-4 or (t is not None and tt >= t):
+                        continue
+                    ph = ro + tt * rd
+                    nn = float(ng @ ng)
+                    u = (ph - a) @ np.cross(e2, ng) / nn
+                    v = (ph - a) @ np.cross(ng, e1) / nn
+                    if u < 0 or u > 1 or v < 0 or u + v > 1:
+                        continue
+                    t = tt
+                    n = nu if dn <= 0 else -nu
+                    pos = ph + n * 1e-5
+                if t is None:
+                    continue
             if best is None or t < best[0]:
                 if g["type"] == "sphere":
                     pos = ro + t * rd
@@ -93,10 +123,25 @@ class Oracle:
         hit = self.intersect(x, d / dist)
         return hit is None or hit[0] + 1e-3 >= dist
 
-    # --- materials (diffuse/specular only: enough for shipped scenes) ---
+    # --- materials ---
     def f_eval(self, brdf, n, o, i):
         if brdf["type"] == "diffuse":
             return np.asarray(brdf["kd"], float) / math.pi
+        if brdf["type"] == "phong":
+            # kd*color_d/pi + ks*color_s*(p+2)/2pi * max(o . reflect(i,n),0)^p
+            # (reference BRDF::eval, src/scene.rs:41-52)
+            kd, ks = float(brdf["kd"]), float(brdf["ks"])
+            power = float(brdf["power"])
+            refl = 2.0 * float(i @ n) * n - i
+            cos_r = max(float(o @ refl), 0.0)
+            return (
+                kd * np.asarray(brdf["color_d"], float) / math.pi
+                + ks
+                * np.asarray(brdf["color_s"], float)
+                * (power + 2.0)
+                / (2.0 * math.pi)
+                * (cos_r ** power)
+            )
         raise AssertionError
 
     def sample_light(self):
@@ -137,6 +182,15 @@ class Oracle:
         e = self.objects[self.light]["emitted"]
         f = self.f_eval(brdf, n, o, i)
         rad = e * f * vis * (n @ i) * (ny @ -i) / (r2 * pdf)
+        # Phong continuation: the reference's 3-way sample (cosine w.p. kd,
+        # power-lobe w.p. ks, DEAD otherwise, each weighted by its own
+        # branch pdf) has expectation (kd+ks) * integral — i.e. (1-kd-ks)
+        # absorption.  The oracle reproduces that expectation with plain
+        # Russian roulette at (kd+ks) + cosine sampling (any sampling pdf
+        # gives the same expectation), staying estimator-independent.
+        if brdf["type"] == "phong":
+            if self.rng.random() >= float(brdf["kd"]) + float(brdf["ks"]):
+                return rad
         if self.rng.random() < p:
             u1, u2 = self.rng.random(), self.rng.random()
             z = math.sqrt(u1)
