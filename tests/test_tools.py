@@ -61,3 +61,14 @@ def test_throughput_ema():
     time.sleep(0.01)
     v = tp.tick(100)
     assert v > 0
+
+
+def test_parity_tool_smoke():
+    """The hardware parity tool runs end-to-end (interpret mode on CPU);
+    on a real TPU the same entry validates the compiled Mosaic kernel."""
+    import os
+
+    from raytracer_tpu.tools.parity import run
+
+    scenes = os.path.join(os.path.dirname(__file__), "..", "scenes")
+    assert run(os.path.join(scenes, "flying_unicorn.toml"), n=1 << 11)
