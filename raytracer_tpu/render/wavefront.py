@@ -135,36 +135,49 @@ def render_band_regen(
         ro = jnp.where(a3, ro, PARK_RO)
         rd = jnp.where(a3, rd, PARK_RD)
         if scene.use_bvh:
-            # Permute the WHOLE lane state by the traversal-coherence key
-            # once per iteration; the main trace then runs presorted (no
-            # per-trace sort/unsort) and the NEE shadow trace inherits the
-            # order (shadow origins are the sorted main hits).  Cheaper
-            # than the two independent sort+unsort cycles it replaces.
+            # Permute the WHOLE lane state by the traversal-coherence key;
+            # the main trace then runs presorted (no per-trace sort/unsort)
+            # and the NEE shadow trace inherits the order (shadow origins
+            # are the sorted main hits).  Cheaper than the two independent
+            # sort+unsort cycles it replaces.  (Sorting only every 2nd
+            # iteration measured ~1.8x SLOWER overall: one-iteration-stale
+            # orders leave fresh camera rays and newly-parked lanes in the
+            # wrong packets, and the kernel-time penalty dwarfs the saved
+            # argsort.)
             from raytracer_tpu.ops.bvh import _coherence_key
 
-            order = jnp.argsort(_coherence_key(scene, ro, rd, eps))
-            # ONE row gather of the packed state: separate per-array takes
-            # measured 42ms vs ~6ms packed (TPU gathers amortize over the
-            # 92B row, not per element).  Small ints are exact in f32.
-            cols = jnp.concatenate(
-                [
-                    active[:, None].astype(jnp.float32),
-                    j[:, None].astype(jnp.float32),
-                    slot[:, None].astype(jnp.float32),
-                    depth[:, None].astype(jnp.float32),
-                    ro, rd, L, beta, emis,
-                    pdf_prev[:, None], acc,
-                ],
-                axis=1,
-            )  # [N,23]
-            cols = jnp.take(cols, order, axis=0)
-            active = cols[:, 0] > 0.5
-            j = cols[:, 1].astype(jnp.int32)
-            slot = cols[:, 2].astype(jnp.int32)
-            depth = cols[:, 3].astype(jnp.int32)
-            ro, rd, L = cols[:, 4:7], cols[:, 7:10], cols[:, 10:13]
-            beta, emis = cols[:, 13:16], cols[:, 16:19]
-            pdf_prev, acc = cols[:, 19], cols[:, 20:23]
+            def permute(args):
+                (active, j, slot, depth, ro, rd, L, beta, emis, pdf_prev,
+                 acc) = args
+                order = jnp.argsort(_coherence_key(scene, ro, rd, eps))
+                # ONE row gather of the packed state: separate per-array
+                # takes measured 42ms vs ~6ms packed (TPU gathers amortize
+                # over the 92B row).  Small ints are exact in f32.
+                cols = jnp.concatenate(
+                    [
+                        active[:, None].astype(jnp.float32),
+                        j[:, None].astype(jnp.float32),
+                        slot[:, None].astype(jnp.float32),
+                        depth[:, None].astype(jnp.float32),
+                        ro, rd, L, beta, emis,
+                        pdf_prev[:, None], acc,
+                    ],
+                    axis=1,
+                )  # [N,23]
+                cols = jnp.take(cols, order, axis=0)
+                return (
+                    cols[:, 0] > 0.5,
+                    cols[:, 1].astype(jnp.int32),
+                    cols[:, 2].astype(jnp.int32),
+                    cols[:, 3].astype(jnp.int32),
+                    cols[:, 4:7], cols[:, 7:10], cols[:, 10:13],
+                    cols[:, 13:16], cols[:, 16:19],
+                    cols[:, 19], cols[:, 20:23],
+                )
+
+            (active, j, slot, depth, ro, rd, L, beta, emis, pdf_prev,
+             acc) = permute((active, j, slot, depth, ro, rd, L, beta, emis,
+                             pdf_prev, acc))
 
         # ---- 2) main trace (camera + continuation rays together) ----
         rays = rays + jnp.sum(active.astype(jnp.int32))
