@@ -102,7 +102,8 @@ class SceneArrays:
     # VMEM-packed forms for the Pallas traversal kernel (ops/pallas).
     bvh_nodes_packed: jnp.ndarray  # [NR,16,128] f32
     bvh_tris_packed: jnp.ndarray  # [TR, 12*MAX_LEAF, 128] f32
-    # Treetop cut (~64 subtree-root AABBs) for the coherence sort key
+    # Treetop cut (max_cut=32 subtree-root AABBs by default) for the
+    # coherence sort key
     # (ops/bvh.treetop_cut).
     bvh_cut_lo: jnp.ndarray  # [C,3] f32
     bvh_cut_hi: jnp.ndarray  # [C,3] f32

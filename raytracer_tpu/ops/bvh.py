@@ -164,7 +164,7 @@ def build_bvh(tri_pts: np.ndarray, max_leaf: int | None = None):
                 return None
         axis, cmin, cmax, i = best
         b = np.minimum(
-            ((centroids[idx][:, axis] - cmin) / (cmax - cmin) * SAH_BINS).astype(np.int64),
+            ((cen[:, axis] - cmin) / (cmax - cmin) * SAH_BINS).astype(np.int64),
             SAH_BINS - 1,
         )
         return idx[b <= i], idx[b > i]
@@ -172,7 +172,6 @@ def build_bvh(tri_pts: np.ndarray, max_leaf: int | None = None):
     import sys
 
     old_limit = sys.getrecursionlimit()
-    sys.setrecursionlimit(max(old_limit, 100000))
 
     def build(idx: np.ndarray) -> None:
         my = alloc()
@@ -193,8 +192,11 @@ def build_bvh(tri_pts: np.ndarray, max_leaf: int | None = None):
         # whole subtree has been emitted, so that is exactly len(skips).
         skips[my] = len(skips)
 
-    build(np.arange(n_tris))
-    sys.setrecursionlimit(old_limit)
+    sys.setrecursionlimit(max(old_limit, 100000))
+    try:
+        build(np.arange(n_tris))
+    finally:
+        sys.setrecursionlimit(old_limit)
 
     bvh = (
         np.asarray(los, np.float32),
@@ -270,7 +272,8 @@ def pack_for_pallas(
 def treetop_cut(bvh, max_cut: int = 32) -> np.ndarray:
     """Treetop cut: node ids of ~``max_cut`` disjoint subtrees covering the
     tree, chosen by greedily expanding the largest-surface-area internal
-    node.  The coherence sort uses the cut as its primary key: rays that
+    node (max_cut=32 by default: it beat 16/64/96 in the v5e sweep; the
+    sort key's entry field accommodates up to 8191 cut nodes).  The coherence sort uses the cut as its primary key: rays that
     enter the same cut subtree first share (most of) their traversal, so
     packets sorted by it descend with almost no union waste — measured 7x
     kernel time on coherent wavefronts and 2x on pathological incoherent
@@ -313,7 +316,8 @@ def _coherence_key(scene, ro: Array, rd: Array, eps: Epsilons) -> Array:
     """Traversal-coherence sort key [N] i32 (smaller sorts first).
 
     Primary: the treetop-cut subtree the ray ENTERS FIRST (nearest slab
-    entry among the ~64 cut nodes; see ``treetop_cut``) — rays in a packet
+    entry among the cut nodes — max_cut=32 by default, see ``treetop_cut``)
+    — rays in a packet
     then genuinely share their descent, instead of merely being near each
     other in origin space.  Missing rays sort last (their packets terminate
     after one root test).  Secondary: direction octant; tertiary: 12-bit

@@ -166,6 +166,29 @@ def _divisor_band(height: int, target: int) -> int:
     return 1
 
 
+def make_renderer(scene: SceneArrays, cfg: RenderConfig, sharded: bool | None = None):
+    """Single policy for choosing the device topology (server AND tools).
+
+    ``sharded=None``: shard row bands over the device mesh whenever more
+    than one device is visible and the engine supports it (the TPU analog
+    of the reference's available_parallelism() thread pool,
+    src/server.rs:165-168), degrading to the plain single-device renderer
+    otherwise.  ``True`` forces sharding (ValueError if the engine can't);
+    ``False`` forces the single-device renderer.
+    """
+    if sharded is None:
+        import jax
+
+        sharded = len(jax.devices()) > 1 and cfg.engine == "regen"
+    elif sharded and cfg.engine != "regen":
+        raise ValueError("sharded rendering requires engine='regen'")
+    if sharded:
+        from raytracer_tpu.parallel.mesh import ShardedRenderer
+
+        return ShardedRenderer(scene, cfg)
+    return Renderer(scene, cfg)
+
+
 class Renderer:
     """Per-scene render pipeline with row-band scheduling."""
 

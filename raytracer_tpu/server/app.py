@@ -204,23 +204,18 @@ class Server:
         # device mesh.  sharded=None: use every visible device, degrading
         # to the plain single-device renderer at n=1.  The sharded path
         # runs the streaming engine; other engines fall back to 1 device.
+        # (Selection policy lives in render.renderer.make_renderer, shared
+        # with the CLI tools.)
+        if sharded and self.base_cfg.engine != "regen":
+            # Fail fast: both facts are known here; raising per render
+            # request would tear down client connections instead.
+            raise ValueError("sharded serving requires engine='regen'")
         self.sharded = sharded
 
     def _make_renderer(self, scene, cfg: RenderConfig) -> Renderer:
-        use_sharded = self.sharded
-        if use_sharded is None or use_sharded:
-            import jax
+        from raytracer_tpu.render.renderer import make_renderer
 
-            n_dev = len(jax.devices())
-            if use_sharded is None:
-                use_sharded = n_dev > 1 and cfg.engine == "regen"
-            elif cfg.engine != "regen":
-                raise ValueError("sharded serving requires engine='regen'")
-        if use_sharded:
-            from raytracer_tpu.parallel.mesh import ShardedRenderer
-
-            return ShardedRenderer(scene, cfg)
-        return Renderer(scene, cfg)
+        return make_renderer(scene, cfg, sharded=self.sharded)
 
     def renderer_for(self, scene_name: str, width: int, height: int) -> Renderer:
         key = (scene_name, width, height)

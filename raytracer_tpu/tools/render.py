@@ -25,6 +25,10 @@ def main(argv=None) -> int:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--max-depth", type=int, default=None)
     parser.add_argument("--cpu", action="store_true", help="render on the host CPU")
+    parser.add_argument(
+        "--no-shard", action="store_true",
+        help="force the single-device renderer even with multiple devices",
+    )
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -47,16 +51,9 @@ def main(argv=None) -> int:
     stats = RenderStats(pixels=args.width * args.height, samples=args.spp)
     with stats.phase("load"):
         scene = load_scene(args.scene)
-    import jax
+    from raytracer_tpu.render.renderer import make_renderer
 
-    if len(jax.devices()) > 1 and cfg.engine == "regen":
-        # Shard row bands over the device mesh (parallel/mesh.py) — the TPU
-        # analog of the reference's available_parallelism() thread pool.
-        from raytracer_tpu.parallel.mesh import ShardedRenderer
-
-        renderer = ShardedRenderer(scene, cfg)
-    else:
-        renderer = Renderer(scene, cfg)
+    renderer = make_renderer(scene, cfg, sharded=False if args.no_shard else None)
     with stats.phase("render"):
         img = renderer.render_image(args.spp)
     stats.rays = renderer.rays_traced()
