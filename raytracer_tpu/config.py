@@ -73,7 +73,9 @@ class RenderConfig:
     # smaller (dispatch overhead) and larger (cache/VMEM pressure) ones.
     rays_per_pass: int = 1 << 17
     # Mesh (BVH) scenes amortize their much heavier per-dispatch cost over
-    # bigger bands (v5e sweep: 2^20 beat 2^17 by ~30% on flying_unicorn).
+    # bigger bands (v5e sweep: 2^20 beat 2^17 by ~30% on flying_unicorn;
+    # 2^21 is another ~7% faster but doubles the worst-case cancellation
+    # latency to ~2.3 s/dispatch — batch renders may override).
     mesh_rays_per_pass: int = 1 << 20
 
     # Integrator scheduling: "regen" = regenerating wavefront (dead lanes

@@ -37,7 +37,6 @@ def main(argv=None) -> int:
         force_cpu()
     from raytracer_tpu.config import RenderConfig
     from raytracer_tpu.models.loader import load_scene
-    from raytracer_tpu.render.renderer import Renderer
     from raytracer_tpu.utils.platform import enable_compilation_cache
     from raytracer_tpu.utils.timing import RenderStats
 
