@@ -118,3 +118,20 @@ def test_fused_mis_falls_back_to_regen(cornell):
                        engine="fused", use_mis=True)
     img = Renderer(cornell, cfg).render_image(16)
     assert np.isfinite(img.astype(np.float64)).all() and img.mean() > 5
+
+
+def test_bvh_scene_deterministic_given_seed():
+    """The persistent coherence permutation (argsort + state gather +
+    slot scatter) must preserve bit-reproducibility on BVH scenes."""
+    import numpy as np
+
+    from tests.test_server_mesh import chair_scene
+    from raytracer_tpu.render.renderer import Renderer
+
+    scene = chair_scene()
+    cfg = RenderConfig(width=60, height=45, rays_per_pass=1 << 12,
+                       mesh_rays_per_pass=1 << 12, seed=7)
+    a = Renderer(scene, cfg).render_image(8)
+    b = Renderer(scene, cfg).render_image(8)
+    np.testing.assert_array_equal(a, b)
+    assert a.max() == 255  # the light is visible (non-trivial image)
