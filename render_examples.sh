@@ -9,4 +9,6 @@ for scene in cornell_box cubes crewmate_phong; do
 done
 python -m raytracer_tpu.tools.render scenes/cornell_box.toml \
   --spp 64 --mis --out examples_out/cornell_box_mis.png
+python -m raytracer_tpu.tools.render scenes/flying_unicorn.toml \
+  --spp 16 --out examples_out/flying_unicorn.png
 echo "wrote examples_out/"

@@ -66,3 +66,27 @@ def test_cancel_preserves_progress(renderer):
     # partial work is preserved and resumable to a smaller target
     done = render_with_checkpoint(renderer, "cornell_box", 256, checkpoint=ck)
     assert done.num_samples == 64
+
+
+def test_mesh_scene_checkpoint_roundtrip(tmp_path):
+    """BVH scene: save/load + resume works and rejects knob-independent
+    batching changes correctly (fingerprint pops *rays_per_pass)."""
+    from tests.test_server_mesh import chair_scene
+
+    scene = chair_scene()
+    cfg = RenderConfig(width=48, height=36, rays_per_pass=1 << 11,
+                       mesh_rays_per_pass=1 << 11)
+    r = Renderer(scene, cfg)
+    part = render_with_checkpoint(r, "chair_test", 8)
+    path = tmp_path / "chair.npz"
+    part.save(path)
+    # Resuming under a DIFFERENT mesh band budget is allowed (batching
+    # doesn't change the estimate) and accumulates.
+    cfg2 = RenderConfig(width=48, height=36, rays_per_pass=1 << 11,
+                        mesh_rays_per_pass=1 << 12)
+    loaded = RenderCheckpoint.load(path, "chair_test", cfg2)
+    r2 = Renderer(scene, cfg2)
+    resumed = render_with_checkpoint(r2, "chair_test", 16, checkpoint=loaded)
+    assert resumed.num_samples == 4
+    img = resumed.image()
+    assert img.max() == 255
