@@ -10,7 +10,7 @@ native:
 serve: native
 	python -m raytracer_tpu.server.main scenes --port $(PORT) --http-port 8090
 
-test:
+test: native
 	python -m pytest tests/ -x -q
 
 bench:

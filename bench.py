@@ -26,7 +26,11 @@ import sys
 import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+# Committed snapshot (read-only here) + untracked local overlay: remeasured
+# baselines land in the .local file so routine bench runs never dirty a
+# tracked file or leak one host's numbers into version control.
 CPU_BASELINE_FILE = os.path.join(HERE, "BASELINE_CPU.json")
+CPU_BASELINE_LOCAL = os.path.join(HERE, "BASELINE_CPU.local.json")
 
 # (key, scene, spp, use_mis)
 CONFIGS = [
@@ -74,11 +78,13 @@ print(json.dumps({"mrays_per_s": rays / dt / 1e6, "rays": rays, "seconds": dt}))
 def cpu_baseline(scene: str) -> dict | None:
     """Measured CPU Mrays/s for a scene (cached); None when unmeasurable."""
     cache: dict = {}
-    if os.path.exists(CPU_BASELINE_FILE):
-        with open(CPU_BASELINE_FILE) as fh:
-            cache = json.load(fh)
-        if "mrays_per_s" in cache:  # legacy single-config schema
-            cache = {"cornell_box": cache}
+    for path in (CPU_BASELINE_FILE, CPU_BASELINE_LOCAL):  # local wins
+        if os.path.exists(path):
+            with open(path) as fh:
+                loaded = json.load(fh)
+            if "mrays_per_s" in loaded:  # legacy single-config schema
+                loaded = {"cornell_box": loaded}
+            cache.update(loaded)
     if scene in cache and os.environ.get("RT_BENCH_CPU") != "1":
         return cache[scene]
     try:
@@ -89,9 +95,13 @@ def cpu_baseline(scene: str) -> dict | None:
         data = json.loads(out.stdout.strip().splitlines()[-1])
     except Exception:
         return None
-    cache[scene] = data
-    with open(CPU_BASELINE_FILE, "w") as fh:
-        json.dump(cache, fh, indent=1)
+    local: dict = {}
+    if os.path.exists(CPU_BASELINE_LOCAL):
+        with open(CPU_BASELINE_LOCAL) as fh:
+            local = json.load(fh)
+    local[scene] = data
+    with open(CPU_BASELINE_LOCAL, "w") as fh:
+        json.dump(local, fh, indent=1)
     return data
 
 
@@ -117,6 +127,75 @@ def run_config(scene_name: str, spp: int, use_mis: bool) -> dict:
     }
 
 
+def run_progressive_ws() -> dict | None:
+    """BASELINE config #5: progressive 1920x1080 -> 1024 spp over WebSocket.
+
+    Time-boxed: compiles are warmed through the renderer first, then TWO
+    full-frame refinement passes are driven over a real WS connection and
+    the steady-state seconds-per-pass (pass 2) recorded — the full 1024 spp
+    would take hours and adds no information.  Returns None (recorded as
+    null) if the run fails; never fabricated.
+    """
+    import asyncio
+
+    from raytracer_tpu.config import RenderConfig
+    from raytracer_tpu.models.loader import load_scene
+    from raytracer_tpu.server.app import Server
+
+    W, H = 1920, 1080
+    SPP = 1024
+    try:
+        import websockets
+
+        scene = load_scene(os.path.join(HERE, "scenes", "cornell_box.toml"))
+        srv = Server({"cornell_box": scene}, width=W, height=H)
+        r = srv.renderer_for("cornell_box", W, H)
+        rows_p, k_p, _ = r.plan_progressive(SPP)
+        r.render_band_sums(0, rows_p, k_p, 1)  # warm the one compiled shape
+        r.ray_counts.clear()
+
+        async def go():
+            ws_server = await srv.serve(port=0, host="127.0.0.1")
+            port = ws_server.sockets[0].getsockname()[1]
+            frame_px = W * H
+            t0 = time.time()
+            pass_times = []
+            first_chunk = None
+            px = 0
+            async with websockets.connect(
+                f"ws://127.0.0.1:{port}", max_size=1 << 22
+            ) as ws:
+                await ws.send(json.dumps({
+                    "type": "render", "scene": "cornell_box", "spp": SPP,
+                    "width": W, "height": H, "progressive": True,
+                }))
+                while len(pass_times) < 2:
+                    raw = await asyncio.wait_for(ws.recv(), 600)
+                    if not isinstance(raw, (bytes, bytearray)):
+                        continue
+                    if first_chunk is None:
+                        first_chunk = time.time() - t0
+                    px += raw[1]  # wire header: [1] = num pixels
+                    if px >= frame_px:
+                        px -= frame_px
+                        pass_times.append(time.time() - t0)
+                await ws.send(json.dumps({"type": "stop_rendering"}))
+            ws_server.close()
+            return first_chunk, pass_times
+
+        first_chunk, pass_times = asyncio.run(go())
+        return {
+            "width": W, "height": H, "target_spp": SPP,
+            "first_chunk_s": round(first_chunk, 3),
+            "first_pass_s": round(pass_times[0], 2),
+            "s_per_refinement_pass": round(pass_times[1] - pass_times[0], 2),
+            "spp_per_pass": 4 * k_p,
+            "passes_measured": len(pass_times),
+        }
+    except Exception:
+        return None
+
+
 def main() -> None:
     sys.path.insert(0, HERE)
     from raytracer_tpu.utils.platform import enable_compilation_cache
@@ -126,6 +205,7 @@ def main() -> None:
     results = {}
     for key, scene, spp, mis in CONFIGS:
         results[key] = run_config(scene, spp, mis)
+    results["progressive_1080p"] = run_progressive_ws()
 
     headline = results["cornell_256_nee"]
     cpu = cpu_baseline("cornell_box")

@@ -88,6 +88,7 @@ class RenderJob:
 
     def __post_init__(self) -> None:
         self.cancel_token.cancel()
+        self.stats = None  # RenderStats of the most recent run()
 
     def running(self) -> bool:
         return not self.cancel_token.is_cancelled()
@@ -105,15 +106,36 @@ class RenderJob:
         cancel_token.reset, src/server.rs:98-106,:164.)"""
         self.cancel_token.reset()
 
-    async def run(self, renderer: Renderer, spp: int, progressive: bool = False) -> bool:
+    async def run(
+        self,
+        renderer: Renderer,
+        spp: int,
+        progressive: bool = False,
+        want_stats: bool = False,
+    ) -> bool:
         """Render + stream; returns True if stopped before completion.
 
         Callers must flip the job to running via ``mark_running()`` before
         scheduling this coroutine (see above).
+
+        Every render records a RenderStats summary (wall clock, rays,
+        Mrays/s, bands) in ``self.stats`` — the serving-path observability
+        the reference lacks entirely (SURVEY §5: the reference only times
+        renders client-side, test-client/app.tsx:71).  ``want_stats=True``
+        (render request extension field "stats") additionally sends the
+        summary to the client as a JSON text message after the render;
+        it is opt-in so stock reference clients never see a text frame.
         """
+        from raytracer_tpu.utils.timing import RenderStats
+
         cancelled = self.cancel_token.is_cancelled
         height = renderer.cfg.height
         loop = asyncio.get_running_loop()
+        stats = RenderStats()
+        stats.pixels = renderer.cfg.width * height
+        stats.samples = renderer.samples_rendered(spp) * 4  # spp delivered
+        rays_before = len(renderer.ray_counts)
+        bands = 0
 
         async def stream_rows(y0: int, rows: int, rgb: np.ndarray) -> None:
             # rgb is render-space rows [y0, y0+rows); wire labels are
@@ -151,6 +173,7 @@ class RenderJob:
                             y0, rows_p, k_p, 1, salt=chunk
                         ),
                     )
+                    bands += 1
                     sums[y0] = out if sums[y0] is None else sums[y0] + out
                     rgb = finalize(np.asarray(sums[y0]), (chunk + 1) * k_p)
                     await stream_rows(y0, rows, rgb)
@@ -172,11 +195,20 @@ class RenderJob:
                             y0, rows_b, k, min(g, n_passes - g0), salt=g0
                         ),
                     )
+                    bands += 1
                     sums = out if sums is None else sums + out
                 if sums is not None and not cancelled():
                     rgb = finalize(np.asarray(sums), k * n_passes)
                     await stream_rows(y0, rows, rgb)
 
+        # Finalize the per-render stats: this render's ray counters are the
+        # tail of the (connection-cached) renderer's list; syncing the
+        # device here is off the streaming path.
+        stats.bands = bands
+        stats.rays = int(sum(int(r) for r in renderer.ray_counts[rays_before:]))
+        self.stats = stats
+        if want_stats and not cancelled():
+            await self.send(json.dumps({"type": "render_stats", **stats.summary()}))
         was_stopped = self.cancel_token.cancel()
         return was_stopped
 
@@ -198,6 +230,7 @@ class Server:
         self.height = height
         self.connections: set[str] = set()
         self._renderers: OrderedDict[tuple[str, int, int], Renderer] = OrderedDict()
+        self._renderers_lock = threading.Lock()  # warm-up thread vs event loop
         # The reference's *entire* compute parallelism lives in its serve
         # path (row bands over available_parallelism() threads,
         # src/server.rs:157-199); the TPU equivalent is row bands over the
@@ -219,14 +252,58 @@ class Server:
 
     def renderer_for(self, scene_name: str, width: int, height: int) -> Renderer:
         key = (scene_name, width, height)
-        if key not in self._renderers:
-            cfg = replace(self.base_cfg, width=width, height=height)
-            self._renderers[key] = self._make_renderer(self.scenes[scene_name], cfg)
-            while len(self._renderers) > MAX_RENDERERS:
-                # Evict LRU; an in-flight render keeps its own reference.
-                self._renderers.popitem(last=False)
-        self._renderers.move_to_end(key)
-        return self._renderers[key]
+        with self._renderers_lock:
+            if key not in self._renderers:
+                cfg = replace(self.base_cfg, width=width, height=height)
+                self._renderers[key] = self._make_renderer(
+                    self.scenes[scene_name], cfg
+                )
+                while len(self._renderers) > MAX_RENDERERS:
+                    # Evict LRU; an in-flight render keeps its own reference.
+                    self._renderers.popitem(last=False)
+            self._renderers.move_to_end(key)
+            return self._renderers[key]
+
+    def warmup(self, block: bool = False) -> threading.Thread:
+        """Compile the default-resolution render shapes for every scene.
+
+        First-render latency is compile-bound (minutes on the tunneled-TPU
+        container, whose remote compiles bypass jax's persistent cache —
+        utils/platform.py), so the server front-loads those compiles at
+        startup instead of charging them to the first client.  The streaming
+        engine takes spp as a DYNAMIC arg, so ONE compile per (scene,
+        resolution) covers every spp a client can request, progressive or
+        not.  (The reference eagerly builds octrees at startup for the same
+        reason, src/main.rs:30-35.)
+
+        Runs in a daemon thread (XLA compilation releases the GIL) so the
+        server can accept connections immediately; a render requested
+        mid-warm-up simply blocks on the same per-shape compile it would
+        have paid anyway.
+        """
+
+        def go() -> None:
+            import time as _time
+
+            for name in self.scenes:
+                t0 = _time.time()
+                try:
+                    r = self.renderer_for(name, self.width, self.height)
+                    rows, _, _ = r.plan(64)  # regen shapes are spp-agnostic
+                    r.render_band_sums(0, rows, 1, 1)
+                    r.ray_counts.clear()
+                    log.info(
+                        "warm-up: %s %dx%d compiled in %.1fs",
+                        name, self.width, self.height, _time.time() - t0,
+                    )
+                except Exception:
+                    log.exception("warm-up failed for %s", name)
+
+        t = threading.Thread(target=go, name="rt-warmup", daemon=True)
+        t.start()
+        if block:
+            t.join()
+        return t
 
     def _new_connection_id(self) -> str:
         # 5 distinct lowercase letters (reference: src/server.rs:63-78)
@@ -281,13 +358,20 @@ class Server:
                         )
                         break
                     progressive = bool(msg.get("progressive", False))
+                    want_stats = bool(msg.get("stats", False))
                     renderer = self.renderer_for(scene, w, h)
 
                     async def run_render() -> None:
                         log.info("[%s] Rendering...", cid)
-                        stopped = await job.run(renderer, spp, progressive)
+                        stopped = await job.run(
+                            renderer, spp, progressive, want_stats
+                        )
                         if not stopped:
-                            log.info("[%s] Done rendering.", cid)
+                            log.info(
+                                "[%s] Done rendering. stats=%s",
+                                cid,
+                                job.stats.summary() if job.stats else None,
+                            )
 
                     job.mark_running()
                     asyncio.get_running_loop().create_task(run_render())

@@ -33,6 +33,11 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="also serve the web viewer (clients/web) over plain HTTP",
     )
+    parser.add_argument(
+        "--no-warmup",
+        action="store_true",
+        help="skip the startup background compile of default render shapes",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
@@ -55,6 +60,8 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     server = Server(scenes, cfg=cfg, width=args.width, height=args.height)
+    if not args.no_warmup:
+        server.warmup()  # background; first client render skips the compile
     port = args.port if args.port is not None else port_from_env()
 
     async def run_all():

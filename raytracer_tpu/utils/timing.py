@@ -24,6 +24,7 @@ class RenderStats:
     rays: int = 0
     samples: int = 0
     pixels: int = 0
+    bands: int = 0  # device dispatch batches (serving-path band count)
     started: float = field(default_factory=time.time)
 
     @contextlib.contextmanager
@@ -49,6 +50,7 @@ class RenderStats:
             "mrays_per_s": round(self.mrays_per_s, 2),
             "samples": self.samples,
             "pixels": self.pixels,
+            "bands": self.bands,
             "phases": {k: round(v, 3) for k, v in self.phases.items()},
         }
 

@@ -8,6 +8,8 @@ so we override the config *after* jax import, before any backend is used.
 """
 
 import os
+import shutil
+import subprocess
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
@@ -16,3 +18,21 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+def _build_native() -> None:
+    """Build native/librt_native.so when a C++ toolchain exists, so the
+    native/python parity tests actually RUN (they skip only where no
+    compiler is available — e.g. a slim deploy image)."""
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    native = os.path.join(root, "native")
+    so = os.path.join(native, "librt_native.so")
+    src = os.path.join(native, "rt_native.cpp")
+    if shutil.which(os.environ.get("CXX", "g++")) is None:
+        return
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return
+    subprocess.run(["make", "-C", native], check=False, capture_output=True)
+
+
+_build_native()

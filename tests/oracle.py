@@ -25,10 +25,27 @@ def _norm(v):
 
 
 class Oracle:
-    def __init__(self, doc: dict, rng: np.random.Generator, max_depth: int = 24):
-        """doc: parsed TOML scene dict (spheres and planes only)."""
+    def __init__(
+        self,
+        doc: dict,
+        rng: np.random.Generator,
+        max_depth: int = 24,
+        use_mis: bool = False,
+    ):
+        """doc: parsed TOML scene dict (spheres and planes only).
+
+        ``use_mis=True`` estimates direct light with the balance heuristic
+        (light sample weighted 1/(pdf_light_sa + pdf_brdf), BSDF-sampled
+        emission weighted pdf_brdf/(pdf_brdf + pdf_light_sa), both in
+        solid-angle measure) — the reference's dead branch
+        (src/scene.rs:187-216) implemented *correctly*, per SURVEY §5.
+        Restricted to diffuse/specular scenes: the reference never defined
+        how its Phong absorption composes with MIS weights, and the spec'd
+        MIS benchmark config (cornell_box) has no Phong either.
+        """
         self.rng = rng
         self.max_depth = max_depth
+        self.use_mis = use_mis
         self.cam_pos = np.asarray(doc["camera"]["pos"], float)
         self.cam_dir = np.asarray(doc["camera"]["dir"], float)
         self.objects = []
@@ -50,6 +67,10 @@ class Oracle:
         self.light = next(
             i for i, o in enumerate(self.objects) if np.abs(o["emitted"]).max() > 1e-5
         )
+        if use_mis:
+            assert all(o["brdf"]["type"] != "phong" for o in self.objects), (
+                "oracle MIS supports diffuse/specular scenes only"
+            )
 
     # --- geometry ---
     def intersect(self, ro, rd):
@@ -144,6 +165,14 @@ class Oracle:
             )
         raise AssertionError
 
+    def light_area(self):
+        g = self.objects[self.light]["geom"]
+        return 4.0 * math.pi * float(g["r"]) ** 2
+
+    def q_pdf(self, n, i):
+        """Solid-angle density of the oracle's own cosine BSDF sampler at i."""
+        return max(float(n @ i), 0.0) / math.pi
+
     def sample_light(self):
         g = self.objects[self.light]["geom"]
         c = np.asarray(g["pos"], float)
@@ -181,7 +210,19 @@ class Oracle:
         vis = 1.0 if self.visible(x, y) else 0.0
         e = self.objects[self.light]["emitted"]
         f = self.f_eval(brdf, n, o, i)
-        rad = e * f * vis * (n @ i) * (ny @ -i) / (r2 * pdf)
+        if self.use_mis:
+            # Light-sample term with the balance weight: the 1/pdf_l_sa
+            # estimator times pdf_l_sa/(pdf_l_sa + pdf_brdf) collapses to
+            # 1/(pdf_l_sa + pdf_brdf).
+            cos_x = float(n @ i)
+            cos_y = float(ny @ -i)
+            if vis > 0.0 and cos_x > 0.0 and cos_y > 0.0:
+                p_l_sa = pdf * r2 / cos_y
+                rad = e * f * cos_x / (p_l_sa + self.q_pdf(n, i))
+            else:
+                rad = np.zeros(3)
+        else:
+            rad = e * f * vis * (n @ i) * (ny @ -i) / (r2 * pdf)
         # Phong continuation: the reference's 3-way sample (cosine w.p. kd,
         # power-lobe w.p. ks, DEAD otherwise, each weighted by its own
         # branch pdf) has expectation (kd+ks) * integral — i.e. (1-kd-ks)
@@ -205,11 +246,17 @@ class Oracle:
             pdf_b = (n @ i) / math.pi
             hit = self.intersect(x, i)
             if hit is not None and pdf_b > 1e-12:
-                _, hx, hn, hobj = hit
+                t_h, hx, hn, hobj = hit
                 f = self.f_eval(brdf, n, o, i)
-                rad = rad + self.reflected(hx, hn, -i, hobj, depth + 1) * f * (n @ i) / (
-                    pdf_b * p
-                )
+                nxt = self.reflected(hx, hn, -i, hobj, depth + 1)
+                if self.use_mis and hobj == self.light:
+                    # BSDF-sampled direct light, balance-weighted (hn is
+                    # already two-sided so hn.-i > 0 at a real hit).
+                    cos_yb = max(float(hn @ -i), 1e-8)
+                    p_l_sa = (t_h * t_h) / (cos_yb * self.light_area())
+                    q = self.q_pdf(n, i)
+                    nxt = nxt + self.objects[hobj]["emitted"] * (q / (q + p_l_sa))
+                rad = rad + nxt * f * (n @ i) / (pdf_b * p)
         return rad
 
     def received(self, ro, rd):

@@ -227,3 +227,22 @@ f 3 2 1
     bad.write_text("v 0 0 0\nf 1 2 9\n")
     with pytest.raises(objlib.MeshLoadError):
         native.parse_obj_file(str(bad))
+
+
+def test_native_obj_parser_parity_crewmate():
+    """Native vs python parse equality on a real checked-in mesh asset
+    (crewmate.obj: 1,708 v / 3,412 f — reference scenes/assets/)."""
+    from raytracer_tpu.utils import native
+
+    if native._lib() is None:
+        pytest.skip("librt_native.so not built")
+    path = os.path.join(SCENES, "assets", "crewmate.obj")
+    got = native.parse_obj_file(path)
+    assert got is not None
+    v, vn, idx = got
+    with open(path) as fh:
+        ev, evn, eidx = objlib.parse_obj(fh.read())
+    assert idx.shape == (3412, 3)
+    np.testing.assert_array_equal(v, ev)
+    np.testing.assert_array_equal(vn, evn)
+    np.testing.assert_array_equal(idx, eidx)

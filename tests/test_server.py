@@ -81,6 +81,72 @@ def test_render_streams_full_frame(server_port):
     assert img.max() == 255  # the light clamps to white
 
 
+def test_warmup_compiles_all_scenes(caplog):
+    """Startup warm-up: one compile per (scene, default resolution); a
+    subsequent render reuses the compiled shape (same renderer instance)."""
+    import logging
+
+    from raytracer_tpu.config import RenderConfig
+    from raytracer_tpu.models.loader import load_scene
+    from raytracer_tpu.server.app import Server
+
+    scene = load_scene(os.path.join(SCENES, "cornell_box.toml"))
+    srv = Server(
+        {"cornell_box": scene},
+        cfg=RenderConfig(rays_per_pass=1 << 13),
+        width=W, height=H, sharded=False,
+    )
+    with caplog.at_level(logging.INFO, logger="raytracer_tpu.server"):
+        srv.warmup(block=True)
+    assert any("warm-up: cornell_box" in r.getMessage() for r in caplog.records)
+    r = srv.renderer_for("cornell_box", W, H)
+    assert r.ray_counts == []  # warm-up traffic doesn't pollute accounting
+    assert r is srv.renderer_for("cornell_box", W, H)
+
+
+def test_render_stats_message_and_log(server_port, caplog):
+    """Serve-path observability: "stats": true in the render request gets a
+    render_stats JSON text message after the pixels, and the server logs a
+    stats summary at Done (SURVEY §5 — the reference times renders
+    client-side only, test-client/app.tsx:71)."""
+
+    async def go():
+        import websockets
+
+        n_pixels = 0
+        stats = None
+        async with websockets.connect(f"ws://127.0.0.1:{server_port}") as ws:
+            await ws.send(
+                json.dumps(
+                    {"type": "render", "scene": "cornell_box", "spp": 8,
+                     "stats": True}
+                )
+            )
+            while stats is None:
+                raw = await asyncio.wait_for(ws.recv(), 120)
+                if isinstance(raw, (bytes, bytearray)):
+                    n_pixels += parse_chunk(raw)[3].shape[0]
+                else:
+                    stats = json.loads(raw)
+        return n_pixels, stats
+
+    import logging
+
+    with caplog.at_level(logging.INFO, logger="raytracer_tpu.server"):
+        n_pixels, stats = asyncio.run(go())
+    assert n_pixels == W * H  # the text frame arrives after every pixel
+    assert stats["type"] == "render_stats"
+    assert stats["pixels"] == W * H
+    assert stats["samples"] == 8  # spp delivered (2x2 subpixels x spp//4)
+    assert stats["rays"] > W * H * 8  # camera rays alone exceed this
+    assert stats["bands"] >= 1
+    assert stats["wall_s"] > 0 and stats["mrays_per_s"] > 0
+    assert any(
+        "Done rendering. stats=" in m and "'rays':" in m
+        for m in (r.getMessage() for r in caplog.records)
+    )
+
+
 def test_stop_rendering_cancels(server_port):
     async def go():
         import websockets

@@ -65,3 +65,35 @@ def test_sharded_mesh_scene_runs():
     assert rows % r.n_dev == 0
     img = r.render_image(8)
     assert img.shape == (24, 32, 3)
+
+
+def test_sharded_mixed_scene_compile_sequences():
+    """Regression guard for the XLA argument-pruning workaround.
+
+    Replicated (shard_map) CPU execution mis-counts donated/pruned buffers
+    when a no-BVH scene's program and a BVH scene's program share a jit
+    wrapper ("Execution supplied 40 buffers but compiled program expected
+    44"); the workarounds are (a) per-shape-key jit instances
+    (parallel/mesh.py:_sharded_band_fn) and (b) minimal NON-zero dummy BVH
+    buffers on no-BVH scenes (models/scene.py).  This test compiles BOTH
+    scene shapes through ShardedRenderer in one process, in both orders
+    (jax.clear_caches() between them resets the compiled programs), so a
+    jaxlib upgrade that re-breaks the sequence fails HERE, not only in the
+    driver's multichip dryrun.
+    """
+    cornell = load_scene(os.path.join(SCENES, "cornell_box.toml"))
+    unicorn = load_scene(os.path.join(SCENES, "flying_unicorn.toml"))
+    cfg = RenderConfig(width=32, height=24, rays_per_pass=1 << 12,
+                       mesh_rays_per_pass=1 << 12)
+
+    def render(scene):
+        img = ShardedRenderer(scene, cfg, make_mesh()).render_image(4)
+        assert img.shape == (24, 32, 3)
+
+    for order in ((cornell, unicorn), (unicorn, cornell)):
+        jax.clear_caches()
+        from raytracer_tpu.parallel.mesh import _sharded_band_fn
+
+        _sharded_band_fn.cache_clear()
+        for scene in order:
+            render(scene)
