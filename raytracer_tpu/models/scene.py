@@ -99,8 +99,9 @@ class SceneArrays:
     bvh_skip: jnp.ndarray  # [Nn] i32 escape index (next node on miss)
     bvh_first: jnp.ndarray  # [Nn] i32 first triangle (leaves), -1 internal
     bvh_count: jnp.ndarray  # [Nn] i32 leaf triangle count (0 internal)
-    # VMEM-packed forms for the Pallas traversal kernel (ops/pallas).
-    bvh_nodes_packed: jnp.ndarray  # [NR,16,128] f32
+    # VMEM-packed forms for the Pallas traversal kernels (ops/pallas).
+    bvh_nodes_packed: jnp.ndarray  # [NR,16,128] f32 (binary skip-link)
+    bvh8_nodes_packed: jnp.ndarray  # [NR8,64,128] f32 (8-wide, stack walk)
     bvh_tris_packed: jnp.ndarray  # [TR, 12*MAX_LEAF, 128] f32
     # Treetop cut (max_cut=32 subtree-root AABBs by default) for the
     # coherence sort key
@@ -123,6 +124,9 @@ class SceneArrays:
     # Triangles NOT covered by the BVH (from cube/prism objects) are brute
     # forced; BVH-covered triangles occupy [bvh_tri_start, n_triangles).
     bvh_tri_start: int = struct.field(pytree_node=False, default=0)
+    # Static SMEM stack bound for the 8-wide Pallas traversal (pops 1 /
+    # pushes <=7 net per visit along one root-to-leaf path).
+    bvh8_max_stack: int = struct.field(pytree_node=False, default=1)
 
 
 def build_scene_arrays(
@@ -220,7 +224,12 @@ def build_scene_arrays(
         raise ValueError(f"light object {light_idx} in {name!r} has unsupported geometry")
 
     if bvh is not None:
-        from raytracer_tpu.ops.bvh import pack_for_pallas, treetop_cut
+        from raytracer_tpu.ops.bvh import (
+            collapse_bvh8,
+            pack_bvh8_for_pallas,
+            pack_for_pallas,
+            treetop_cut,
+        )
 
         bvh_lo, bvh_hi, bvh_skip, bvh_first, bvh_count = bvh
         cut_ids = treetop_cut(bvh)
@@ -235,6 +244,8 @@ def build_scene_arrays(
             axis=1,
         )
         nodes_packed, tris_packed = pack_for_pallas(bvh, tri_pts_ordered)
+        w_lo, w_hi, w_child, w_count, bvh8_max_stack = collapse_bvh8(bvh)
+        nodes8_packed = pack_bvh8_for_pallas(w_lo, w_hi, w_child, w_count)
     else:
         # Minimal NON-zero dummies: zero-sized buffers trigger an XLA
         # argument-pruning bug under replicated (shard_map) CPU execution
@@ -246,8 +257,10 @@ def build_scene_arrays(
         zi = np.zeros((1,), np.int32)
         bvh_lo, bvh_hi, bvh_skip, bvh_first, bvh_count = z3, z3, zi, zi, zi
         nodes_packed = np.zeros((1, 16, 128), f)
+        nodes8_packed = np.zeros((1, 64, 128), f)
         tris_packed = np.zeros((1, 12 * MAX_LEAF, 128), f)
         cut_lo, cut_hi = z3, z3
+        bvh8_max_stack = 1
 
     return SceneArrays(
         sph_pos=jnp.asarray(sph_pos),
@@ -283,6 +296,7 @@ def build_scene_arrays(
         bvh_first=jnp.asarray(bvh_first),
         bvh_count=jnp.asarray(bvh_count),
         bvh_nodes_packed=jnp.asarray(nodes_packed),
+        bvh8_nodes_packed=jnp.asarray(nodes8_packed),
         bvh_tris_packed=jnp.asarray(tris_packed),
         bvh_cut_lo=jnp.asarray(cut_lo),
         bvh_cut_hi=jnp.asarray(cut_hi),
@@ -296,4 +310,5 @@ def build_scene_arrays(
         n_triangles=nt,
         use_bvh=bvh is not None,
         bvh_tri_start=bvh_tri_start,
+        bvh8_max_stack=int(bvh8_max_stack),
     )

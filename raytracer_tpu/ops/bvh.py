@@ -269,6 +269,124 @@ def pack_for_pallas(
     return nodes, tris
 
 
+BVH8_WIDTH = 8
+
+
+def collapse_bvh8(bvh, width: int = BVH8_WIDTH):
+    """Collapse the binary skip-link BVH into a WIDE (8-ary) node table.
+
+    The Pallas traversal's per-step fixed cost (one dynamic VMEM block read
+    + masked lane reduction + scalar extracts + loop overhead) dominates the
+    dense slab math, so fetching ONE node that carries ``width`` child AABBs
+    amortizes that fixed cost 8x; descent then uses a small SMEM stack
+    (one program per packet) instead of skip links, visiting only children
+    the packet actually hit.  (The reference's octree is also 8-ary,
+    src/geometry.rs:1133-1301 — but by spatial octants with duplicated
+    triangles; this is a collapsed SAH BVH with disjoint leaves.)
+
+    Collapse rule: start from a binary node's two children and repeatedly
+    expand the largest-surface-area internal member until ``width`` members
+    (classic BVH8 construction).  Child slot encoding per wide node:
+    count > 0 -> leaf (child = first triangle in the ordered+padded layout),
+    count == -1 -> internal (child = wide node id), count == 0 -> empty.
+
+    Returns (w_lo [Nw,8,3], w_hi, w_child [Nw,8] i32, w_count [Nw,8] i32,
+    max_stack) where ``max_stack`` bounds the traversal stack depth
+    (pops 1 / pushes <= width per visit, along one root-to-leaf path).
+    """
+    lo, hi, skip, first, count = bvh
+    w_lo: list[np.ndarray] = []
+    w_hi: list[np.ndarray] = []
+    w_child: list[np.ndarray] = []
+    w_count: list[np.ndarray] = []
+    max_depth = 0
+
+    def alloc() -> int:
+        w_lo.append(np.zeros((width, 3), np.float32))
+        w_hi.append(np.zeros((width, 3), np.float32))
+        w_child.append(np.zeros(width, np.int32))
+        w_count.append(np.zeros(width, np.int32))
+        return len(w_count) - 1
+
+    def kids(i: int) -> tuple[int, int]:
+        # Binary children in DFS pre-order: i+1 and its skip target.
+        return i + 1, int(skip[i + 1])
+
+    def build(i: int, depth: int) -> int:
+        nonlocal max_depth
+        max_depth = max(max_depth, depth)
+        my = alloc()
+        if count[i] > 0:
+            group = [i]  # degenerate: the whole (sub)tree is one leaf
+        else:
+            group = list(kids(i))
+            while len(group) < width:
+                best_j, best_area = -1, -1.0
+                for j, c in enumerate(group):
+                    if count[c] > 0:
+                        continue
+                    a = float(_half_area(lo[c], hi[c]))
+                    if a > best_area:
+                        best_j, best_area = j, a
+                if best_j < 0:
+                    break
+                c = group.pop(best_j)
+                a, b = kids(c)
+                group[best_j:best_j] = [a, b]  # keep spatial discovery order
+        for s, c in enumerate(group):
+            w_lo[my][s] = lo[c]
+            w_hi[my][s] = hi[c]
+            if count[c] > 0:
+                w_child[my][s] = first[c]
+                w_count[my][s] = count[c]
+            else:
+                w_child[my][s] = build(c, depth + 1)
+                w_count[my][s] = -1
+        return my
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 100000))
+    try:
+        build(0, 1)
+    finally:
+        sys.setrecursionlimit(old_limit)
+    max_stack = (width - 1) * max_depth + 1
+    return (
+        np.stack(w_lo),
+        np.stack(w_hi),
+        np.stack(w_child),
+        np.stack(w_count),
+        max_stack,
+    )
+
+
+def pack_bvh8_for_pallas(w_lo, w_hi, w_child, w_count) -> np.ndarray:
+    """Pack the wide-node table into the kernel's VMEM layout [NR,64,128]:
+    node i at [i//128, :, i%128], sublane field 8*s+k for child slot s =
+    [lo.xyz, hi.xyz, child, count] (ints exact in f32 below 2^24).
+
+    (An aligned-tile-per-node layout — one [8,128] dynamic tile read
+    instead of the masked lane reduction — was built and measured SLOWER
+    on v5e: kernel 25.2 vs 21.3 ms/1M coherent rays.  Mosaic's lane-masked
+    block reduce beats dynamic sublane tile reads, consistent with the
+    round-2 leaf-fetch dead end.)"""
+    n = w_lo.shape[0]
+    width = w_lo.shape[1]
+    assert width * 8 == 64
+    if (np.abs(w_child) >= 2**24).any():
+        raise ValueError("BVH8 child index exceeds f32-exact integer range")
+    nr = -(-n // 128)
+    flat = np.zeros((nr * 128, 64), np.float32)
+    for s in range(width):
+        flat[:n, 8 * s : 8 * s + 3] = w_lo[:, s]
+        flat[:n, 8 * s + 3 : 8 * s + 6] = w_hi[:, s]
+        flat[:n, 8 * s + 6] = w_child[:, s].astype(np.float32)
+        flat[:n, 8 * s + 7] = w_count[:, s].astype(np.float32)
+    return flat.reshape(nr, 128, 64).transpose(0, 2, 1).copy()
+
+
 def treetop_cut(bvh, max_cut: int = 32) -> np.ndarray:
     """Treetop cut: node ids of ~``max_cut`` disjoint subtrees covering the
     tree, chosen by greedily expanding the largest-surface-area internal
@@ -279,6 +397,10 @@ def treetop_cut(bvh, max_cut: int = 32) -> np.ndarray:
     kernel time on coherent wavefronts and 2x on pathological incoherent
     ones vs an origin-Morton key alone (v5e, flying_unicorn).
     """
+    # The coherence key packs the cut index into a 13-bit field (entry<<17,
+    # _coherence_key); a bigger cut would silently clobber the miss bit.
+    if max_cut > 8191:
+        raise ValueError(f"max_cut {max_cut} exceeds the sort key's 13-bit field")
     lo, hi, skip, first, count = bvh
     cut = [0]
     while len(cut) < max_cut:
@@ -348,8 +470,58 @@ def _coherence_key(scene, ro: Array, rd: Array, eps: Epsilons) -> Array:
     )
 
 
+def _entry_bucket(scene, ro: Array, rd: Array, eps: Epsilons) -> Array:
+    """Bucket id [N] i32: which treetop-cut subtree the ray enters first
+    (0..C-1), or C for root-missing rays (shared slab pass with
+    ``_coherence_key``'s primary term)."""
+    clo, chi = scene.bvh_cut_lo, scene.bvh_cut_hi  # [C,3]
+    safe_d = jnp.where(jnp.abs(rd) < 1e-12, jnp.float32(1e-12), rd)
+    inv = 1.0 / safe_d
+    t0 = (clo[:, None, :] - ro[None, :, :]) * inv[None, :, :]
+    t1 = (chi[:, None, :] - ro[None, :, :]) * inv[None, :, :]
+    tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)  # [C,N]
+    tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (tnear <= tfar) & (tfar > eps.tri_tmin)
+    entry = jnp.argmin(jnp.where(hit, tnear, jnp.inf), axis=0).astype(jnp.int32)
+    return jnp.where(jnp.any(hit, axis=0), entry, clo.shape[0])
+
+
+def _bucket_order(scene, ro: Array, rd: Array, eps: Epsilons):
+    """STABLE counting-sort permutation by entry bucket — the cheap
+    alternative to ``_coherence_order``'s full argsort.
+
+    Packets only need GROUPING at ~1024-lane granularity, not a total
+    order; a stable counting sort by the (C+1)-bucket entry key delivers
+    that at a fraction of the 1M-lane bitonic argsort's cost, and its
+    stability means within-bucket order is inherited from the previous
+    iteration's permutation (which the full key had sorted by octant +
+    origin-Morton), so secondary coherence decays only gradually.
+
+    rank-within-bucket = per-bucket running count via one batched cumsum
+    over a [C+1, N] one-hot; position = bucket start + rank.
+    """
+    b = _entry_bucket(scene, ro, rd, eps)  # [N] in [0, C]
+    k = scene.bvh_cut_lo.shape[0] + 1
+    eq = (b[None, :] == jnp.arange(k, dtype=jnp.int32)[:, None]).astype(jnp.int32)
+    rank = jnp.cumsum(eq, axis=1) - 1  # [K,N] running count per bucket
+    counts = rank[:, -1] + 1
+    start = jnp.cumsum(counts) - counts  # exclusive prefix
+    lane_rank = jnp.sum(rank * eq, axis=0)  # rank[b[i], i]
+    pos = start[b] + lane_rank
+    n = b.shape[0]
+    order = jnp.zeros((n,), jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True
+    )
+    inverse = pos.astype(jnp.int32)
+    return order, inverse
+
+
 def _coherence_order(scene, ro: Array, rd: Array, eps: Epsilons):
     """(order, inverse-order) permutations from ``_coherence_key``."""
+    import os
+
+    if os.environ.get("RT_BUCKET_SORT", "0") == "1":
+        return _bucket_order(scene, ro, rd, eps)
     order = jnp.argsort(_coherence_key(scene, ro, rd, eps))
     # inverse[order[i]] = i via scatter — cheaper than a second argsort.
     n = order.shape[0]

@@ -156,6 +156,219 @@ def _traverse_kernel(
     i_ref[0] = i_best
 
 
+def _traverse8_kernel(
+    rays_ref,  # [1,8,8,128] ro.xyz, rd.xyz, t_init, resolved0
+    nodes8_ref,  # [NR8,64,128] 8-wide nodes (node i at [i//128, :, i%128])
+    tris_ref,  # [TR, 12*MAX_LEAF, 128]
+    t_ref,  # [1,8,128] out
+    i_ref,  # [1,8,128] i32 out
+    stack_ref,  # SMEM [STACK] i32 scratch
+    *,
+    base: int,
+    tri_tmin: float,
+    tri_parallel: float,
+    any_hit: bool,
+):
+    """8-wide BVH traversal with a per-packet SMEM stack.
+
+    vs the binary skip-link kernel (_traverse_kernel): ONE node fetch
+    (dynamic VMEM block read + masked lane reduction) now yields EIGHT
+    child AABBs, so the per-step fixed cost (the measured bottleneck —
+    BENCHMARKS.md round-2 log) is amortized 8x, and the stack descends
+    only into children the packet actually hit instead of stepping through
+    every node of the union's DFS order.  Stack entries: wide-node id
+    (>= 0) or an encoded leaf ``-(group)-1`` — leaf work stays a single
+    lax.cond body instead of being inlined 8x per node visit (which would
+    blow the kernel's code size out 8x).
+    """
+    ml = _bvh.MAX_LEAF
+    ro = [rays_ref[0, k] for k in range(3)]  # 3 x [8,128]
+    rd = [rays_ref[0, 3 + k] for k in range(3)]
+    t_init = rays_ref[0, 6]
+    resolved0 = rays_ref[0, 7] > 0.5
+    inv = [
+        1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.float32(1e-12), d) for d in rd
+    ]
+
+    node_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 64, 128), 2)
+    tri_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, ml * 12, 128), 2)
+
+    stack_ref[0] = 0  # root wide node
+
+    def cond(st):
+        return st[0] > 0
+
+    def body(st):
+        sp, t_best, i_best = st
+        sp = sp - 1
+        x = stack_ref[sp]
+
+        def leaf_case(carry):
+            sp, t_best, i_best = carry
+            g = -x - 1
+            first = g * ml
+            tb = tris_ref[pl.ds(g // 128, 1), :, :]  # [1,12*ml,128]
+            tf = jnp.sum(jnp.where(tri_lanes == g % 128, tb, 0.0), axis=2)
+            for j in range(ml):
+                f = tf[0, 12 * j : 12 * (j + 1)]  # [12]
+                nx, ny, nz, n_d = f[0], f[1], f[2], f[3]
+                q1x, q1y, q1z, q1a = f[4], f[5], f[6], f[7]
+                q2x, q2y, q2z, q2a = f[8], f[9], f[10], f[11]
+                denom = nx * rd[0] + ny * rd[1] + nz * rd[2]
+                n_ro = nx * ro[0] + ny * ro[1] + nz * ro[2]
+                # Leaf-math trims vs the binary kernel (measured ~15% off
+                # the leaf-bound kernel time, parity tests unchanged):
+                # - denom==0 divides to inf/nan whose compares are False,
+                #   so no safe-denominator select is needed;
+                # - padded slots are all-zero (degenerate -> denom 0), so
+                #   no j<count mask is needed;
+                # - u<=1 is implied by v>=0 & u+v<=1.
+                t = (n_d - n_ro) / denom
+                u = (
+                    (q1x * ro[0] + q1y * ro[1] + q1z * ro[2])
+                    + t * (q1x * rd[0] + q1y * rd[1] + q1z * rd[2])
+                    - q1a
+                )
+                v_ = (
+                    (q2x * ro[0] + q2y * ro[1] + q2z * ro[2])
+                    + t * (q2x * rd[0] + q2y * rd[1] + q2z * rd[2])
+                    - q2a
+                )
+                ok = (
+                    (jnp.abs(denom) >= tri_parallel)
+                    & (u >= 0.0)
+                    & (v_ >= 0.0)
+                    & (u + v_ <= 1.0)
+                    & (t > tri_tmin)
+                    & (t < t_best)
+                )
+                t_best = jnp.where(ok, t, t_best)
+                i_best = jnp.where(ok, base + first + j, i_best)
+            return sp, t_best, i_best
+
+        def node_case(carry):
+            sp, t_best, i_best = carry
+            blk = nodes8_ref[pl.ds(x // 128, 1), :, :]  # [1,64,128]
+            nf = jnp.sum(jnp.where(node_lanes == x % 128, blk, 0.0), axis=2)
+            tm = []  # per-child packet-min entry distance (-INF = no push)
+            pv = []  # per-child encoded push value
+            for c in range(8):
+                f0 = 8 * c
+                lo = [nf[0, f0], nf[0, f0 + 1], nf[0, f0 + 2]]
+                hi = [nf[0, f0 + 3], nf[0, f0 + 4], nf[0, f0 + 5]]
+                child = nf[0, f0 + 6].astype(jnp.int32)
+                cnt = nf[0, f0 + 7].astype(jnp.int32)
+                tnear = jnp.full((8, 128), -INF)
+                tfar = jnp.full((8, 128), INF)
+                for k in range(3):
+                    t0 = (lo[k] - ro[k]) * inv[k]
+                    t1 = (hi[k] - ro[k]) * inv[k]
+                    tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
+                    tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
+                ray_hit = (tnear <= tfar) & (tfar > tri_tmin) & (tnear < t_best)
+                hit_any = jnp.any(ray_hit)
+                # Encode: internal as wide-node id, leaf as -(group)-1
+                # (count==0 slots are empty and never pushed; the leaf body
+                # needs no count — padded slots are degenerate).
+                pv.append(jnp.where(cnt > 0, -(child // ml) - 1, child))
+                tm.append(
+                    jnp.where(
+                        hit_any & (cnt != 0),
+                        jnp.min(jnp.where(ray_hit, tnear, INF)),
+                        jnp.float32(-INF),
+                    )
+                )
+            # Ordered descent: sort children by packet-min entry distance
+            # (descending) so the NEAREST child is pushed last and popped
+            # first — earlier t_best hits then prune farther subtrees.
+            # Batcher's 19-comparator network on 8 scalars; non-pushed
+            # children carry tm=-INF and sink to the end harmlessly.
+            for a, b in (
+                (0, 1), (2, 3), (4, 5), (6, 7), (0, 2), (1, 3), (4, 6),
+                (5, 7), (1, 2), (5, 6), (0, 4), (1, 5), (2, 6), (3, 7),
+                (2, 4), (3, 5), (1, 2), (3, 4), (5, 6),
+            ):
+                swap = tm[a] < tm[b]
+                tm[a], tm[b] = (
+                    jnp.where(swap, tm[b], tm[a]),
+                    jnp.where(swap, tm[a], tm[b]),
+                )
+                pv[a], pv[b] = (
+                    jnp.where(swap, pv[b], pv[a]),
+                    jnp.where(swap, pv[a], pv[b]),
+                )
+            for c in range(8):
+                stack_ref[sp] = pv[c]
+                sp = sp + (tm[c] > jnp.float32(-1e38)).astype(jnp.int32)
+            return sp, t_best, i_best
+
+        sp, t_best, i_best = jax.lax.cond(
+            x < 0, leaf_case, node_case, (sp, t_best, i_best)
+        )
+        if any_hit:
+            resolved = jnp.all(resolved0 | (t_best < t_init))
+            sp = jnp.where(resolved, 0, sp)
+        return sp, t_best, i_best
+
+    _, t_best, i_best = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.int32(1),
+            t_init,
+            jnp.zeros((8, 128), jnp.int32),
+        ),
+    )
+    t_ref[0] = t_best
+    i_ref[0] = i_best
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_stack", "base", "tri_tmin", "tri_parallel", "any_hit", "interpret"
+    ),
+)
+def bvh8_intersect_pallas_raw(
+    rays: Array,  # [G,8,8,128]
+    nodes8: Array,  # [NR8,64,128]
+    tris: Array,  # [TR,12*MAX_LEAF,128]
+    max_stack: int,
+    base: int,
+    tri_tmin: float,
+    tri_parallel: float,
+    any_hit: bool = False,
+    interpret: bool = False,
+):
+    g = rays.shape[0]
+    kernel = functools.partial(
+        _traverse8_kernel,
+        base=base,
+        tri_tmin=tri_tmin,
+        tri_parallel=tri_parallel,
+        any_hit=any_hit,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 8, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(nodes8.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(tris.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((g, 8, 128), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.SMEM((max(max_stack, 16),), jnp.int32)],
+        interpret=interpret,
+    )(rays, nodes8, tris)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -242,17 +455,32 @@ def bvh_intersect_pallas(
         rays8 = jnp.concatenate([rays8, pad_row], axis=0)
     rays = rays8.reshape(g, 8, 128, 8).transpose(0, 3, 1, 2)  # [G,8f,8,128]
 
-    t, idx = bvh_intersect_pallas_raw(
-        rays,
-        scene.bvh_nodes_packed,
-        scene.bvh_tris_packed,
-        n_nodes=scene.bvh_lo.shape[0],
-        base=scene.bvh_tri_start,
-        tri_tmin=eps.tri_tmin,
-        tri_parallel=eps.tri_parallel,
-        any_hit=any_hit,
-        interpret=interpret,
-    )
+    import os
+
+    if os.environ.get("RT_BVH_KERNEL", "wide") == "wide":
+        t, idx = bvh8_intersect_pallas_raw(
+            rays,
+            scene.bvh8_nodes_packed,
+            scene.bvh_tris_packed,
+            max_stack=scene.bvh8_max_stack,
+            base=scene.bvh_tri_start,
+            tri_tmin=eps.tri_tmin,
+            tri_parallel=eps.tri_parallel,
+            any_hit=any_hit,
+            interpret=interpret,
+        )
+    else:
+        t, idx = bvh_intersect_pallas_raw(
+            rays,
+            scene.bvh_nodes_packed,
+            scene.bvh_tris_packed,
+            n_nodes=scene.bvh_lo.shape[0],
+            base=scene.bvh_tri_start,
+            tri_tmin=eps.tri_tmin,
+            tri_parallel=eps.tri_parallel,
+            any_hit=any_hit,
+            interpret=interpret,
+        )
     t = t.reshape(-1)[:n]
     idx = idx.reshape(-1)[:n]
     if not presorted:

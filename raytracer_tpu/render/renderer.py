@@ -115,6 +115,8 @@ render_band = functools.partial(
 def _streaming_jit(engine: str):
     if engine == "fused":
         from raytracer_tpu.render.wavefront_fused import render_band_fused as fn
+    elif engine == "mega":
+        from raytracer_tpu.ops.pallas.megakernel import render_band_mega as fn
     else:
         from raytracer_tpu.render.wavefront import render_band_regen as fn
     return functools.partial(jax.jit, static_argnames=("cfg", "rows"))(fn)
@@ -123,10 +125,17 @@ def _streaming_jit(engine: str):
 def render_band_streaming(scene, pre, cfg, y0, rows, num_samples, key):
     """Jit wrapper for the streaming engines: num_samples is DYNAMIC so one
     compile per (cfg, rows) serves every spp.  MIS renders always use the
-    plain streaming engine (the fused one is NEE-only)."""
+    plain streaming engine (the fused one is NEE-only); the Pallas bounce
+    megakernel ("mega") covers its register-resident subset (sphere/plane
+    geometry, diffuse/specular, NEE) and falls back to "regen" otherwise."""
     engine = cfg.engine
     if engine == "fused" and cfg.use_mis:
         engine = "regen"
+    if engine == "mega":
+        from raytracer_tpu.ops.pallas.megakernel import supports_megakernel
+
+        if not supports_megakernel(scene, cfg) or jax.default_backend() == "cpu":
+            engine = "regen"
     return _streaming_jit(engine)(scene, pre, cfg, y0, rows, num_samples, key)
 
 

@@ -71,6 +71,15 @@ def render_band_regen(
     w = cfg.width
     n_pix = rows * w
     n = n_pix * 4  # one lane per (pixel, subpixel)
+    # The per-iteration coherence permutation round-trips small int lane
+    # state (slot, j, depth) through f32 columns, exact only below 2^24.
+    # Bands can never get that big today (rays_per_pass budgets are ~2^21)
+    # but the config invites raising them — fail loudly, not silently.
+    if n >= 2**24:
+        raise ValueError(
+            f"band has {n} lanes; the f32-packed lane permutation is exact "
+            "only below 2^24 — lower mesh_rays_per_pass/rays_per_pass"
+        )
     light_e = scene.obj_emitted[scene.light_idx]
     num_samples = jnp.asarray(num_samples, jnp.int32)
 
@@ -144,12 +153,12 @@ def render_band_regen(
             # orders leave fresh camera rays and newly-parked lanes in the
             # wrong packets, and the kernel-time penalty dwarfs the saved
             # argsort.)
-            from raytracer_tpu.ops.bvh import _coherence_key
+            from raytracer_tpu.ops.bvh import _coherence_order
 
             def permute(args):
                 (active, j, slot, depth, ro, rd, L, beta, emis, pdf_prev,
                  acc) = args
-                order = jnp.argsort(_coherence_key(scene, ro, rd, eps))
+                order, _ = _coherence_order(scene, ro, rd, eps)
                 # ONE row gather of the packed state: separate per-array
                 # takes measured 42ms vs ~6ms packed (TPU gathers amortize
                 # over the 92B row).  Small ints are exact in f32.
@@ -230,12 +239,19 @@ def render_band_regen(
         # ~half the lanes are parked — unoccluded lanes can never resolve,
         # so the per-step all-reduce buys exits too rarely.  Kept off.)
         # Shadow rays sort by their OWN key: inheriting the main-ray order
-        # measured +8ms — occluded/clear lanes interleave and the packet
-        # unions blow up, costing more than the argsort saves.
+        # was re-measured for the wide stack kernel (RT_SHADOW_INHERIT=1)
+        # and is still much worse — 12.7 vs 8.8 s on flying_unicorn @16spp.
+        # Shadow directions fan toward the light, so main-order packets
+        # union-descend the whole light frustum; the per-iteration argsort
+        # is cheap by comparison.
+        import os as _os
+
+        _shadow_inherit = _os.environ.get("RT_SHADOW_INHERIT", "0") == "1"
         sh_t, sh_valid = trace_t(
             scene, pre,
             jnp.where(nee3, x, PARK_RO), jnp.where(nee3, wi_d, PARK_RD),
             eps, t_max=jnp.where(nee_lanes, dist - eps.visibility_margin, 0.0),
+            presorted=scene.use_bvh and _shadow_inherit,
         )
         vis = (~sh_valid) | (sh_t + eps.visibility_margin >= dist)
         f_d = brdf.eval_nonspecular(mat, nrm, o, wi_d, scene.has_phong)

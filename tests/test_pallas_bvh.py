@@ -36,7 +36,33 @@ def test_pack_layout_roundtrip():
     assert len(order) % MAX_LEAF == 0
 
 
-def test_pallas_matches_xla_traversal_interpret():
+def test_bvh8_collapse_invariants():
+    """Every binary leaf appears exactly once among the wide nodes' leaf
+    slots; child/count encodings are well-formed."""
+    from raytracer_tpu.ops.bvh import collapse_bvh8
+
+    tris = random_tri_soup(500, seed=11)
+    bvh, order = build_bvh(tris)
+    lo, hi, skip, first, count = bvh
+    w_lo, w_hi, w_child, w_count, max_stack = collapse_bvh8(bvh)
+    # leaf slots reference each binary leaf's (first, count) exactly once
+    leaf_slots = w_count > 0
+    got = sorted(zip(w_child[leaf_slots].tolist(), w_count[leaf_slots].tolist()))
+    want = sorted(zip(first[count > 0].tolist(), count[count > 0].tolist()))
+    assert got == want
+    # internal slots reference valid wide ids; no self-reference to root
+    internal = w_count == -1
+    assert (w_child[internal] > 0).all()
+    assert (w_child[internal] < len(w_count)).all()
+    # empty slots are fully zeroed
+    empty = w_count == 0
+    assert (w_child[empty] == 0).all()
+    assert max_stack >= 8
+
+
+@pytest.mark.parametrize("kernel", ["wide", "binary"])
+def test_pallas_matches_xla_traversal_interpret(kernel, monkeypatch):
+    monkeypatch.setenv("RT_BVH_KERNEL", kernel)
     tris = random_tri_soup(200, seed=6)
     s = _scene_with_mesh_bvh(tris)
     rng = np.random.default_rng(7)
@@ -54,6 +80,33 @@ def test_pallas_matches_xla_traversal_interpret():
     np.testing.assert_array_equal(hit_ref, hit_pl)
     np.testing.assert_allclose(t_pl[hit_pl], t_ref[hit_ref], rtol=3e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(i_pl)[hit_pl], np.asarray(i_ref)[hit_ref])
+
+
+@pytest.mark.parametrize("kernel", ["wide", "binary"])
+def test_pallas_any_hit_parity_interpret(kernel, monkeypatch):
+    """Shadow mode (t_init bound + any_hit + resolved0) agrees with the XLA
+    traversal on WHICH lanes are occluded below their bound."""
+    monkeypatch.setenv("RT_BVH_KERNEL", kernel)
+    tris = random_tri_soup(150, seed=13)
+    s = _scene_with_mesh_bvh(tris)
+    rng = np.random.default_rng(14)
+    n = 256
+    ro = jnp.asarray(rng.uniform(-12, 12, (n, 3)), jnp.float32)
+    d = rng.normal(size=(n, 3))
+    rd = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+    bound = jnp.asarray(rng.uniform(1.0, 25.0, (n,)), jnp.float32)
+    resolved = jnp.asarray(rng.random(n) < 0.3)
+
+    t_x, _ = bvh_intersect(s, ro, rd, EPS, t_init=bound, any_hit=True,
+                           resolved0=resolved)
+    t_p, _ = bvh_intersect_pallas(s, ro, rd, EPS, t_init=bound, any_hit=True,
+                                  resolved0=resolved.astype(jnp.float32),
+                                  interpret=True)
+    # any_hit may stop early with ANY sub-bound hit; only occlusion agrees.
+    occ_x = np.asarray(t_x) < np.asarray(bound)
+    occ_p = np.asarray(t_p) < np.asarray(bound)
+    m = ~np.asarray(resolved)  # resolved lanes are don't-care
+    np.testing.assert_array_equal(occ_x[m], occ_p[m])
 
 
 def test_pallas_through_full_trace_interpret(monkeypatch):
