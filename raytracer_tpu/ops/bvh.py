@@ -434,6 +434,35 @@ def _morton12(p: Array, lo: Array, hi: Array) -> Array:
     return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
 
 
+def _cut_entry(scene, ro: Array, rd: Array, eps: Epsilons):
+    """(entry[N] i32, hit_any[N] bool): the treetop-cut subtree each ray
+    ENTERS FIRST (nearest slab entry among the cut nodes).
+
+    Written as a static loop over the ~32 cut nodes with [N]-shaped
+    running bests: the one-shot [C,N,3] formulation materializes ~400 MB
+    of slab intermediates through HBM per 1M rays and measured ~7 ms;
+    the loop form keeps every intermediate [N]-sized for XLA to fuse.
+    Ties resolve to the lowest cut index in both forms (strict <).
+    """
+    clo, chi = scene.bvh_cut_lo, scene.bvh_cut_hi  # [C,3]
+    safe_d = jnp.where(jnp.abs(rd) < 1e-12, jnp.float32(1e-12), rd)
+    inv = 1.0 / safe_d
+    n = ro.shape[0]
+    best_t = jnp.full((n,), jnp.inf)
+    best_i = jnp.zeros((n,), jnp.int32)
+    for c in range(clo.shape[0]):
+        t0 = (clo[c] - ro) * inv  # [N,3]
+        t1 = (chi[c] - ro) * inv
+        tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        hit = (tnear <= tfar) & (tfar > eps.tri_tmin)
+        tn = jnp.where(hit, tnear, jnp.inf)
+        take = tn < best_t
+        best_t = jnp.where(take, tn, best_t)
+        best_i = jnp.where(take, c, best_i)
+    return best_i, best_t < jnp.inf
+
+
 def _coherence_key(scene, ro: Array, rd: Array, eps: Epsilons) -> Array:
     """Traversal-coherence sort key [N] i32 (smaller sorts first).
 
@@ -445,17 +474,9 @@ def _coherence_key(scene, ro: Array, rd: Array, eps: Epsilons) -> Array:
     after one root test).  Secondary: direction octant; tertiary: 12-bit
     Morton code of the origin (ties within a subtree).
     """
-    clo, chi = scene.bvh_cut_lo, scene.bvh_cut_hi  # [C,3]
     root_lo, root_hi = scene.bvh_lo[0], scene.bvh_hi[0]
-    safe_d = jnp.where(jnp.abs(rd) < 1e-12, jnp.float32(1e-12), rd)
-    inv = 1.0 / safe_d
-    t0 = (clo[:, None, :] - ro[None, :, :]) * inv[None, :, :]
-    t1 = (chi[:, None, :] - ro[None, :, :]) * inv[None, :, :]
-    tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)  # [C,N]
-    tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
-    hit = (tnear <= tfar) & (tfar > eps.tri_tmin)
-    entry = jnp.argmin(jnp.where(hit, tnear, jnp.inf), axis=0).astype(jnp.int32)
-    miss = (~jnp.any(hit, axis=0)).astype(jnp.int32)
+    entry, hit_any = _cut_entry(scene, ro, rd, eps)
+    miss = (~hit_any).astype(jnp.int32)
     octant = (
         (rd[:, 0] < 0).astype(jnp.int32)
         + 2 * (rd[:, 1] < 0).astype(jnp.int32)
@@ -474,16 +495,8 @@ def _entry_bucket(scene, ro: Array, rd: Array, eps: Epsilons) -> Array:
     """Bucket id [N] i32: which treetop-cut subtree the ray enters first
     (0..C-1), or C for root-missing rays (shared slab pass with
     ``_coherence_key``'s primary term)."""
-    clo, chi = scene.bvh_cut_lo, scene.bvh_cut_hi  # [C,3]
-    safe_d = jnp.where(jnp.abs(rd) < 1e-12, jnp.float32(1e-12), rd)
-    inv = 1.0 / safe_d
-    t0 = (clo[:, None, :] - ro[None, :, :]) * inv[None, :, :]
-    t1 = (chi[:, None, :] - ro[None, :, :]) * inv[None, :, :]
-    tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)  # [C,N]
-    tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
-    hit = (tnear <= tfar) & (tfar > eps.tri_tmin)
-    entry = jnp.argmin(jnp.where(hit, tnear, jnp.inf), axis=0).astype(jnp.int32)
-    return jnp.where(jnp.any(hit, axis=0), entry, clo.shape[0])
+    entry, hit_any = _cut_entry(scene, ro, rd, eps)
+    return jnp.where(hit_any, entry, scene.bvh_cut_lo.shape[0])
 
 
 def _bucket_order(scene, ro: Array, rd: Array, eps: Epsilons):
@@ -508,10 +521,10 @@ def _bucket_order(scene, ro: Array, rd: Array, eps: Epsilons):
     start = jnp.cumsum(counts) - counts  # exclusive prefix
     lane_rank = jnp.sum(rank * eq, axis=0)  # rank[b[i], i]
     pos = start[b] + lane_rank
-    n = b.shape[0]
-    order = jnp.zeros((n,), jnp.int32).at[pos].set(
-        jnp.arange(n, dtype=jnp.int32), unique_indices=True
-    )
+    # order[pos[i]] = i: invert by argsort — a 1M-element argsort is ~0.2ms
+    # on v5e while the equivalent scatter is ~14ms (measured; scatters
+    # serialize, sorts are the fast primitive on TPU).
+    order = jnp.argsort(pos).astype(jnp.int32)
     inverse = pos.astype(jnp.int32)
     return order, inverse
 
@@ -523,11 +536,10 @@ def _coherence_order(scene, ro: Array, rd: Array, eps: Epsilons):
     if os.environ.get("RT_BUCKET_SORT", "0") == "1":
         return _bucket_order(scene, ro, rd, eps)
     order = jnp.argsort(_coherence_key(scene, ro, rd, eps))
-    # inverse[order[i]] = i via scatter — cheaper than a second argsort.
-    n = order.shape[0]
-    inverse = jnp.zeros((n,), jnp.int32).at[order].set(
-        jnp.arange(n, dtype=jnp.int32), unique_indices=True
-    )
+    # inverse[order[i]] = i via a SECOND argsort: a 1M-element argsort is
+    # ~0.2ms on v5e while the equivalent unique-index scatter is ~14ms
+    # (measured round 3 — scatters serialize; sort is the fast primitive).
+    inverse = jnp.argsort(order).astype(jnp.int32)
     return order, inverse
 
 

@@ -327,7 +327,8 @@ def render_band_regen(
     out = jax.lax.while_loop(cond, body, st)
     rays, slot, acc = out[1], out[4], out[12]
     if scene.use_bvh:
-        # Lanes migrated under the per-iteration permutation; scatter their
-        # banked radiance back to slot order.
-        acc = jnp.zeros_like(acc).at[slot].set(acc, unique_indices=True)
+        # Lanes migrated under the per-iteration permutation; restore slot
+        # order via argsort + gather (TPU sorts are ~60x faster than the
+        # equivalent scatter, see ops/bvh._coherence_order).
+        acc = jnp.take(acc, jnp.argsort(slot), axis=0)
     return acc.reshape(rows, w, 4, 3), rays
