@@ -75,8 +75,37 @@ print(json.dumps({"mrays_per_s": rays / dt / 1e6, "rays": rays, "seconds": dt}))
 """
 
 
-def cpu_baseline(scene: str) -> dict | None:
-    """Measured CPU Mrays/s for a scene (cached); None when unmeasurable."""
+def _measure_native_cpu(scene_name: str) -> dict | None:
+    """Fair native baseline: the C++ reference-style tracer
+    (native/cpu_tracer.cpp — same estimator, scalar f64 recursion,
+    per-ray skip-link BVH, one thread per core like the reference's
+    available_parallelism pool)."""
+    try:
+        from raytracer_tpu.models.loader import load_scene
+        from raytracer_tpu.utils import native
+
+        scene = load_scene(os.path.join(HERE, "scenes", scene_name + ".toml"))
+        if scene_name == "flying_unicorn":
+            y0, rows, spp = 200, 30, 4  # a band through the mesh suffices
+        else:
+            y0, rows, spp = 0, 450, 4
+        t0 = time.time()
+        out = native.cpu_render_band(scene, 600, 450, y0, rows, spp, seed=1)
+        if out is None:
+            return None
+        dt = time.time() - t0
+        _, rays = out
+        return {
+            "mrays_per_s": rays / dt / 1e6,
+            "rays": rays,
+            "seconds": dt,
+            "impl": "native-cpp",
+        }
+    except Exception:
+        return None
+
+
+def _load_cache() -> dict:
     cache: dict = {}
     for path in (CPU_BASELINE_FILE, CPU_BASELINE_LOCAL):  # local wins
         if os.path.exists(path):
@@ -85,23 +114,48 @@ def cpu_baseline(scene: str) -> dict | None:
             if "mrays_per_s" in loaded:  # legacy single-config schema
                 loaded = {"cornell_box": loaded}
             cache.update(loaded)
-    if scene in cache and os.environ.get("RT_BENCH_CPU") != "1":
-        return cache[scene]
-    try:
-        out = subprocess.run(
-            [sys.executable, "-c", CPU_SCRIPT % {"here": HERE, "scene": scene}],
-            capture_output=True, text=True, timeout=3600,
-        )
-        data = json.loads(out.stdout.strip().splitlines()[-1])
-    except Exception:
-        return None
+    return cache
+
+
+def _store_local(key: str, data: dict) -> None:
     local: dict = {}
     if os.path.exists(CPU_BASELINE_LOCAL):
         with open(CPU_BASELINE_LOCAL) as fh:
             local = json.load(fh)
-    local[scene] = data
+    local[key] = data
     with open(CPU_BASELINE_LOCAL, "w") as fh:
         json.dump(local, fh, indent=1)
+
+
+def cpu_baseline(scene: str, impl: str = "xla") -> dict | None:
+    """Measured CPU Mrays/s for a scene (cached); None when unmeasurable.
+
+    Two denominators, both reported:
+    - impl="xla": the SAME wavefront estimator compiled for the host CPU —
+      the same-software comparison, consistent across bench rounds;
+    - impl="native": the C++ reference-style tracer
+      (native/cpu_tracer.cpp) — the fair cross-implementation 1x, standing
+      in for the reference's own multithreaded Rust renderer.
+    """
+    key = scene if impl == "xla" else f"{scene}:native"
+    cache = _load_cache()
+    if key in cache and os.environ.get("RT_BENCH_CPU") != "1":
+        return cache[key]
+    if impl == "native":
+        data = _measure_native_cpu(scene)
+    else:
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", CPU_SCRIPT % {"here": HERE, "scene": scene}],
+                capture_output=True, text=True, timeout=3600,
+            )
+            data = json.loads(out.stdout.strip().splitlines()[-1])
+            data["impl"] = "xla-cpu"
+        except Exception:
+            data = None
+    if data is None:
+        return cache.get(key)
+    _store_local(key, data)
     return data
 
 
@@ -208,17 +262,21 @@ def main() -> None:
     results["progressive_1080p"] = run_progressive_ws()
 
     headline = results["cornell_256_nee"]
-    cpu = cpu_baseline("cornell_box")
+    cpu = cpu_baseline("cornell_box")  # same-estimator XLA-CPU (historic)
     vs = round(headline["mrays_per_s"] / cpu["mrays_per_s"], 2) if cpu else None
-    cpu_mesh = cpu_baseline("flying_unicorn")
-    if cpu_mesh:
-        # Honesty note: this measures OUR CPU fallback (XLA packet
-        # traversal, which dense-tests a whole 64-slot leaf per node visit
-        # — a TPU-shaped algorithm that is pathological on one CPU core).
-        # It is NOT a fair proxy for the reference's per-ray Rust octree,
-        # so the ratio is reported as an upper bound, not a speedup claim.
-        results["flying_unicorn_16"]["vs_own_cpu_fallback_upper_bound"] = round(
-            results["flying_unicorn_16"]["mrays_per_s"] / cpu_mesh["mrays_per_s"], 1
+    # Fair cross-implementation denominators: the C++ reference-style
+    # tracer (same estimator, scalar f64 per-ray recursion + BVH, one
+    # thread per core — the reference IS multithreaded native CPU code).
+    cpu_nat = cpu_baseline("cornell_box", impl="native")
+    cpu_mesh_nat = cpu_baseline("flying_unicorn", impl="native")
+    vs_nat = (
+        round(headline["mrays_per_s"] / cpu_nat["mrays_per_s"], 1)
+        if cpu_nat else None
+    )
+    if cpu_mesh_nat:
+        results["flying_unicorn_16"]["vs_native_cpu"] = round(
+            results["flying_unicorn_16"]["mrays_per_s"]
+            / cpu_mesh_nat["mrays_per_s"], 1
         )
 
     print(
@@ -228,13 +286,17 @@ def main() -> None:
                 "value": headline["mrays_per_s"],
                 "unit": "Mrays/s",
                 "vs_baseline": vs,
+                "vs_native_cpu": vs_nat,
                 "wall_clock_to_256spp_s": headline["wall_s"],
                 "rays_traced": headline["rays"],
                 "cpu_baseline_mrays_per_s": (
                     round(cpu["mrays_per_s"], 3) if cpu else None
                 ),
-                "cpu_baseline_mesh_mrays_per_s": (
-                    round(cpu_mesh["mrays_per_s"], 6) if cpu_mesh else None
+                "cpu_native_mrays_per_s": (
+                    round(cpu_nat["mrays_per_s"], 3) if cpu_nat else None
+                ),
+                "cpu_native_mesh_mrays_per_s": (
+                    round(cpu_mesh_nat["mrays_per_s"], 4) if cpu_mesh_nat else None
                 ),
                 "configs": results,
             }
