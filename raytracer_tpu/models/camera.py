@@ -48,7 +48,12 @@ def camera_rays(
     u1: Array,  # [N] uniform for dx
     u2: Array,  # [N] uniform for dy
 ) -> tuple[Array, Array]:
-    """Generate N camera rays -> (origins[N,3], unit directions[N,3])."""
+    """Generate N camera rays -> (origins[N,3], unit directions[N,3]).
+
+    The hot math runs per COMPONENT on [N] vectors: [N,3] elementwise ops
+    place the 3-axis on the 128-wide lane dimension (3/128 vreg occupancy)
+    and measured 8.2 ms at 540k lanes; the component form is ~40x denser.
+    """
     w = jnp.float32(width)
     h = jnp.float32(height)
     cx, cy = camera_basis(scene, width, height, fov_scale)
@@ -56,7 +61,8 @@ def camera_rays(
     dy = tent_jitter(u2)
     fx = ((sx + 0.5 + dx) / 2.0 + px) / w - 0.5
     fy = ((sy + 0.5 + dy) / 2.0 + py) / h - 0.5
-    d = cx[None, :] * fx[:, None] + cy[None, :] * fy[:, None] + scene.cam_dir[None, :]
-    rd = vm.normalize(d)
+    d = [cx[k] * fx + cy[k] * fy + scene.cam_dir[k] for k in range(3)]
+    inv = 1.0 / jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+    rd = jnp.stack([d[k] * inv for k in range(3)], axis=-1)
     ro = jnp.broadcast_to(scene.cam_pos[None, :], rd.shape)
     return ro, rd

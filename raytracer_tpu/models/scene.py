@@ -103,6 +103,7 @@ class SceneArrays:
     bvh_nodes_packed: jnp.ndarray  # [NR,16,128] f32 (binary skip-link)
     bvh8_nodes_packed: jnp.ndarray  # [NR8,64,128] f32 (8-wide, stack walk)
     bvh_tris_packed: jnp.ndarray  # [TR, 12*MAX_LEAF, 128] f32
+    bvh_tris_mxu: jnp.ndarray  # [GL, 8, 6*MAX_LEAF] f32 (MXU leaf matrices)
     # Treetop cut (max_cut=32 subtree-root AABBs by default) for the
     # coherence sort key
     # (ops/bvh.treetop_cut).
@@ -228,6 +229,7 @@ def build_scene_arrays(
             collapse_bvh8,
             pack_bvh8_for_pallas,
             pack_for_pallas,
+            pack_tris_mxu,
             treetop_cut,
         )
 
@@ -244,6 +246,7 @@ def build_scene_arrays(
             axis=1,
         )
         nodes_packed, tris_packed = pack_for_pallas(bvh, tri_pts_ordered)
+        tris_mxu = pack_tris_mxu(tri_pts_ordered)
         w_lo, w_hi, w_child, w_count, bvh8_max_stack = collapse_bvh8(bvh)
         nodes8_packed = pack_bvh8_for_pallas(w_lo, w_hi, w_child, w_count)
     else:
@@ -259,6 +262,7 @@ def build_scene_arrays(
         nodes_packed = np.zeros((1, 16, 128), f)
         nodes8_packed = np.zeros((1, 64, 128), f)
         tris_packed = np.zeros((1, 12 * MAX_LEAF, 128), f)
+        tris_mxu = np.zeros((1, 8, 6 * MAX_LEAF), f)
         cut_lo, cut_hi = z3, z3
         bvh8_max_stack = 1
 
@@ -298,6 +302,7 @@ def build_scene_arrays(
         bvh_nodes_packed=jnp.asarray(nodes_packed),
         bvh8_nodes_packed=jnp.asarray(nodes8_packed),
         bvh_tris_packed=jnp.asarray(tris_packed),
+        bvh_tris_mxu=jnp.asarray(tris_mxu),
         bvh_cut_lo=jnp.asarray(cut_lo),
         bvh_cut_hi=jnp.asarray(cut_hi),
         name=name,

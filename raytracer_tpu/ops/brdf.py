@@ -50,15 +50,32 @@ class Mat(NamedTuple):
     emitted: Array  # [N,3]
 
 
+def take_obj_rows(table: Array, obj: Array) -> Array:
+    """``table[obj]`` for a small per-object table ([O] or [O,3], O static).
+
+    An unrolled select-sum: TPU row gathers cost ~1.3 ns/row regardless of
+    width (~0.7 ms per [540k,3] gather, profiler round 3) while O fused
+    vector selects are ~free.  Falls back to a real gather for big tables.
+    """
+    n_obj = table.shape[0]
+    if n_obj > 32:
+        return table[obj]
+    out = jnp.broadcast_to(table[0], obj.shape + table.shape[1:])
+    for o in range(1, n_obj):
+        m = obj == o
+        out = jnp.where(m[:, None] if table.ndim == 2 else m, table[o], out)
+    return out
+
+
 def gather_mat(scene, obj: Array) -> Mat:
     return Mat(
-        brdf_type=scene.brdf_type[obj],
-        c_d=scene.c_d[obj],
-        c_s=scene.c_s[obj],
-        k_d=scene.k_d[obj],
-        k_s=scene.k_s[obj],
-        power=scene.phong_power[obj],
-        emitted=scene.obj_emitted[obj],
+        brdf_type=take_obj_rows(scene.brdf_type, obj),
+        c_d=take_obj_rows(scene.c_d, obj),
+        c_s=take_obj_rows(scene.c_s, obj),
+        k_d=take_obj_rows(scene.k_d, obj),
+        k_s=take_obj_rows(scene.k_s, obj),
+        power=take_obj_rows(scene.phong_power, obj),
+        emitted=take_obj_rows(scene.obj_emitted, obj),
     )
 
 

@@ -269,6 +269,63 @@ def pack_for_pallas(
     return nodes, tris
 
 
+def pack_tris_mxu(tri_pts_ordered: np.ndarray) -> np.ndarray:
+    """Pack leaf triangles as per-group MXU coefficient matrices [GL,8,384].
+
+    The wide kernel's leaf phase was measured extract-bound: the lane-masked
+    block reduction reads a [12*MAX_LEAF,128] tile (~96 vregs) per visit and
+    then performs 12*MAX_LEAF scalar extracts to broadcast each coefficient.
+    Instead, all six per-(ray, triangle) dot products of the barycentric-
+    gradient test are ONE matmul: with R_c = [ro.xyz, rd.xyz, 1, *] the
+    [8,128] field-major slab of a 128-ray chunk,
+
+        out = T_g^T @ R_c    ([384,128], MXU, K=8)
+
+    where T_g's column blocks of MAX_LEAF give, per triangle j:
+      [0:64)    denom = n.rd          rows 3..5 =  n_unit
+      [64:128)  numer = n_d - n.ro    rows 0..2 = -n_unit, row 6 = n_d
+      [128:192) u0 = q1.ro - q1a      rows 0..2 =  q1,     row 6 = -q1a
+      [192:256) u1 = q1.rd            rows 3..5 =  q1
+      [256:320) v0 = q2.ro - q2a      rows 0..2 =  q2,     row 6 = -q2a
+      [320:384) v1 = q2.rd            rows 3..5 =  q2
+    so the VPU epilogue is just t = numer/denom, u = u0 + t*u1,
+    v = v0 + t*v1 + compares, with triangles on SUBLANES (reduction over a
+    leaf = 6-step sublane tree min) and rays on lanes.  Padded slots are
+    all-zero columns -> denom = 0 -> t = inf/nan -> all compares False.
+    """
+    a = tri_pts_ordered[:, 0].astype(np.float64)
+    b = tri_pts_ordered[:, 1].astype(np.float64)
+    c = tri_pts_ordered[:, 2].astype(np.float64)
+    e1, e2 = b - a, c - a
+    ng = np.cross(e1, e2)
+    nn = np.maximum((ng * ng).sum(1), 1e-30)
+    n_unit = (ng / np.sqrt(nn)[:, None]).astype(np.float32)
+    q1 = (np.cross(e2, ng) / nn[:, None]).astype(np.float32)
+    q2 = (np.cross(ng, e1) / nn[:, None]).astype(np.float32)
+    n_d = (a * n_unit).sum(1).astype(np.float32)
+    q1a = (a * q1).sum(1).astype(np.float32)
+    q2a = (a * q2).sum(1).astype(np.float32)
+    # Degenerate padding tris (all-zero points): force ALL blocks zero so
+    # denom == 0 kills them (n_unit of a zero cross is 0 already).
+    n_tris = tri_pts_ordered.shape[0]
+    gl = -(-n_tris // MAX_LEAF)
+    ml = MAX_LEAF
+    tbl = np.zeros((gl, 8, 6 * ml), np.float32)
+    g = np.arange(n_tris) // ml
+    j = np.arange(n_tris) % ml
+    for k in range(3):
+        tbl[g, 3 + k, 0 * ml + j] = n_unit[:, k]
+        tbl[g, k, 1 * ml + j] = -n_unit[:, k]
+        tbl[g, k, 2 * ml + j] = q1[:, k]
+        tbl[g, 3 + k, 3 * ml + j] = q1[:, k]
+        tbl[g, k, 4 * ml + j] = q2[:, k]
+        tbl[g, 3 + k, 5 * ml + j] = q2[:, k]
+    tbl[g, 6, 1 * ml + j] = n_d
+    tbl[g, 6, 2 * ml + j] = -q1a
+    tbl[g, 6, 4 * ml + j] = -q2a
+    return tbl
+
+
 BVH8_WIDTH = 8
 
 
@@ -440,21 +497,30 @@ def _cut_entry(scene, ro: Array, rd: Array, eps: Epsilons):
 
     Written as a static loop over the ~32 cut nodes with [N]-shaped
     running bests: the one-shot [C,N,3] formulation materializes ~400 MB
-    of slab intermediates through HBM per 1M rays and measured ~7 ms;
-    the loop form keeps every intermediate [N]-sized for XLA to fuse.
-    Ties resolve to the lowest cut index in both forms (strict <).
+    of slab intermediates through HBM per 1M rays and measured ~7 ms.
+    The slab math runs per COMPONENT on [N] vectors — [N,3] intermediates
+    put the 3-axis on the 128-wide lane dimension (3/128 vreg occupancy)
+    and measured 9.1 ms for the whole key at 540k rays; the component form
+    keeps every op lane-dense.  Ties resolve to the lowest cut index in
+    both forms (strict <).
     """
     clo, chi = scene.bvh_cut_lo, scene.bvh_cut_hi  # [C,3]
-    safe_d = jnp.where(jnp.abs(rd) < 1e-12, jnp.float32(1e-12), rd)
-    inv = 1.0 / safe_d
     n = ro.shape[0]
+    o = [ro[:, k] for k in range(3)]
+    inv = [
+        1.0 / jnp.where(jnp.abs(rd[:, k]) < 1e-12, jnp.float32(1e-12), rd[:, k])
+        for k in range(3)
+    ]
     best_t = jnp.full((n,), jnp.inf)
     best_i = jnp.zeros((n,), jnp.int32)
     for c in range(clo.shape[0]):
-        t0 = (clo[c] - ro) * inv  # [N,3]
-        t1 = (chi[c] - ro) * inv
-        tnear = jnp.max(jnp.minimum(t0, t1), axis=-1)
-        tfar = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        tnear = jnp.float32(-jnp.inf)
+        tfar = jnp.float32(jnp.inf)
+        for k in range(3):
+            t0 = (clo[c, k] - o[k]) * inv[k]  # [N]
+            t1 = (chi[c, k] - o[k]) * inv[k]
+            tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
+            tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
         hit = (tnear <= tfar) & (tfar > eps.tri_tmin)
         tn = jnp.where(hit, tnear, jnp.inf)
         take = tn < best_t
@@ -602,7 +668,7 @@ def bvh_intersect(
     # ``presorted`` callers (the streaming engine permutes its whole lane
     # state by the same key each iteration) skip the sort AND the unsort.
     if not presorted:
-        order, inverse = _coherence_order(scene, ro, rd, eps)
+        order, _ = _coherence_order(scene, ro, rd, eps)
         ro = ro[order]
         rd = rd[order]
         t_init = t_init[order]
@@ -676,7 +742,12 @@ def bvh_intersect(
     i_best = i_best.reshape(-1)[:n]
     if presorted:
         return t_best, i_best
-    return t_best[inverse], i_best[inverse]
+    # Unsort by sorting on the forward permutation (out[order[i]] = x[i]);
+    # ~5x cheaper than a 1-D gather on v5e and needs no inverse.  Separate
+    # sorts so XLA drops the i_best one when the caller discards it.
+    _, t_best = jax.lax.sort((order, t_best), num_keys=1)
+    _, i_best = jax.lax.sort((order, i_best), num_keys=1)
+    return t_best, i_best
 
 
 def _tri_hit_packet(ro, rd, a, b, c, eps: Epsilons):

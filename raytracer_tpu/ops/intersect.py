@@ -327,23 +327,35 @@ def trace(
 
     # Winning primitive's attributes: ONE row gather from the combined
     # table (three per-group gathers + selects measured ~2x the cost).
-    pos_raw = ro + t_best[:, None] * rd
     s_off = scene.sph_pos.shape[0]
     p_off = s_off + scene.pln_pos.shape[0]
     idx = jnp.where(
         group == 0, ts_arg, jnp.where(group == 1, s_off + tp_arg, p_off + tt_arg)
     )
     row = jnp.take(pre.att, idx, axis=0)  # [N,4]
-    v3 = row[:, :3]  # sphere center / plane normal / triangle normal
     obj = row[:, 3].astype(jnp.int32)
 
-    n_sph = vm.normalize(pos_raw - v3, eps=1e-20)
-    n_geo = jnp.where((group == 0)[:, None], n_sph, v3)
-    n_ff = vm.face_forward(n_geo, -rd)
+    # Normal + offset math per COMPONENT on [N] vectors ([N,3] elementwise
+    # ops run at 3/128 vreg lane occupancy — the component form is ~40x
+    # denser; same fix as camera_rays/_cut_entry).
+    is_sph = group == 0
+    pos_raw = [ro[:, k] + t_best * rd[:, k] for k in range(3)]
+    v3 = [row[:, k] for k in range(3)]  # sphere center / plane n / tri n
+    d = [pos_raw[k] - v3[k] for k in range(3)]
+    inv_l = 1.0 / jnp.sqrt(
+        jnp.maximum(d[0] * d[0] + d[1] * d[1] + d[2] * d[2], 1e-20)
+    )
+    n_geo = [jnp.where(is_sph, d[k] * inv_l, v3[k]) for k in range(3)]
+    # Two-sided normal: keep when n.(-rd) >= 0 (src/geometry.rs:532,:558,:660).
+    keep = n_geo[0] * rd[:, 0] + n_geo[1] * rd[:, 1] + n_geo[2] * rd[:, 2] <= 0.0
+    sign = jnp.where(keep, 1.0, -1.0)
+    n_ff = [n_geo[k] * sign for k in range(3)]
 
     # Hit-position offset along the normal: the reference offsets plane and
     # triangle hits by 1e-5*n (src/geometry.rs:561,:663) but not spheres.
-    offset = jnp.where(group == 0, 0.0, eps.hit_offset)[:, None] * n_ff
-    pos = pos_raw + offset
+    off = jnp.where(is_sph, 0.0, eps.hit_offset)
+    pos = jnp.stack([pos_raw[k] + off * n_ff[k] for k in range(3)], axis=-1)
 
-    return Hit(t=t_best, pos=pos, n=n_ff, obj=obj, valid=valid)
+    return Hit(
+        t=t_best, pos=pos, n=jnp.stack(n_ff, axis=-1), obj=obj, valid=valid
+    )

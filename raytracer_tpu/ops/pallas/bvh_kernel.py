@@ -159,7 +159,7 @@ def _traverse_kernel(
 def _traverse8_kernel(
     rays_ref,  # [1,8,8,128] ro.xyz, rd.xyz, t_init, resolved0
     nodes8_ref,  # [NR8,64,128] 8-wide nodes (node i at [i//128, :, i%128])
-    tris_ref,  # [TR, 12*MAX_LEAF, 128]
+    tris_ref,  # [TR, 12*MAX_LEAF, 128], or [GL, 8, 6*MAX_LEAF] when mxu_leaf
     t_ref,  # [1,8,128] out
     i_ref,  # [1,8,128] i32 out
     stack_ref,  # SMEM [STACK] i32 scratch
@@ -168,6 +168,7 @@ def _traverse8_kernel(
     tri_tmin: float,
     tri_parallel: float,
     any_hit: bool,
+    mxu_leaf: bool = False,
 ):
     """8-wide BVH traversal with a per-packet SMEM stack.
 
@@ -191,7 +192,8 @@ def _traverse8_kernel(
     ]
 
     node_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 64, 128), 2)
-    tri_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, ml * 12, 128), 2)
+    if not mxu_leaf:
+        tri_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, ml * 12, 128), 2)
 
     stack_ref[0] = 0  # root wide node
 
@@ -202,6 +204,81 @@ def _traverse8_kernel(
         sp, t_best, i_best = st
         sp = sp - 1
         x = stack_ref[sp]
+
+        def leaf_case_mxu(carry):
+            """MXU leaf: per 128-ray chunk c (= sublane row c of the packet
+            layout), out = T_g^T @ R_c puts all six barycentric-gradient dot
+            products for (64 tris x 128 rays) in ONE [384,128] matmul with
+            triangles on SUBLANES — no scalar extracts, no masked block
+            reduction (see ops.bvh.pack_tris_mxu for the column layout).
+            The leaf argmin is a 6-step sublane tree; strict < keeps the
+            lower triangle slot on ties, matching the dense form's j order.
+            """
+            sp, t_best, i_best = carry
+            g = -x - 1
+            first = g * ml
+            tg = tris_ref[pl.ds(g, 1), :, :][0]  # [8, 6*ml]
+            row_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            sub_iota = jax.lax.broadcasted_iota(jnp.int32, (ml, 128), 0)
+            t_rows = []
+            i_rows = []
+            for c in range(8):
+                rc = rays_ref[0, :, c, :]  # [8,128] fields on sublanes
+                # Row 6 (t bound) becomes the constant-1 row the table's
+                # folded n_d/q1a/q2a terms multiply; row 7's weights are 0.
+                rc = jnp.where(row_iota == 6, 1.0, rc)
+                # Precision.HIGHEST is REQUIRED: against a host-f64 oracle
+                # a [8,384]x[8,128] transposed-lhs probe on this platform
+                # returns garbage at default precision (rel err ~7, not a
+                # bf16 truncation) and ~1e-4 at HIGHEST.  With HIGHEST the
+                # whole variant measured 34.4 vs the dense leaf's 21.3
+                # ms/1M coherent rays — see BENCHMARKS.md round-3 dead
+                # ends; kept env-gated for re-measurement on fixed stacks.
+                out = jax.lax.dot_general(
+                    tg,
+                    rc,
+                    (((0,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )  # [6*ml, 128]
+                denom = out[0 * ml : 1 * ml]
+                numer = out[1 * ml : 2 * ml]
+                u0 = out[2 * ml : 3 * ml]
+                u1 = out[3 * ml : 4 * ml]
+                v0 = out[4 * ml : 5 * ml]
+                v1 = out[5 * ml : 6 * ml]
+                t = numer / denom
+                u = u0 + t * u1
+                v_ = v0 + t * v1
+                tb_row = t_best[c : c + 1, :]  # [1,128]
+                ok = (
+                    (jnp.abs(denom) >= tri_parallel)
+                    & (u >= 0.0)
+                    & (v_ >= 0.0)
+                    & (u + v_ <= 1.0)
+                    & (t > tri_tmin)
+                    & (t < tb_row)
+                )
+                tc = jnp.where(ok, t, INF)
+                jc = sub_iota
+                s = ml
+                while s > 1:
+                    s //= 2
+                    tl, tr = tc[:s], tc[s : 2 * s]
+                    jl, jr = jc[:s], jc[s : 2 * s]
+                    take = tr < tl  # strict: ties keep the lower slot
+                    tc = jnp.where(take, tr, tl)
+                    jc = jnp.where(take, jr, jl)
+                better = tc < tb_row  # [1,128]
+                t_rows.append(jnp.where(better, tc, tb_row))
+                i_rows.append(
+                    jnp.where(better, base + first + jc, i_best[c : c + 1, :])
+                )
+            return (
+                sp,
+                jnp.concatenate(t_rows, axis=0),
+                jnp.concatenate(i_rows, axis=0),
+            )
 
         def leaf_case(carry):
             sp, t_best, i_best = carry
@@ -303,7 +380,10 @@ def _traverse8_kernel(
             return sp, t_best, i_best
 
         sp, t_best, i_best = jax.lax.cond(
-            x < 0, leaf_case, node_case, (sp, t_best, i_best)
+            x < 0,
+            leaf_case_mxu if mxu_leaf else leaf_case,
+            node_case,
+            (sp, t_best, i_best),
         )
         if any_hit:
             resolved = jnp.all(resolved0 | (t_best < t_init))
@@ -326,18 +406,20 @@ def _traverse8_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "max_stack", "base", "tri_tmin", "tri_parallel", "any_hit", "interpret"
+        "max_stack", "base", "tri_tmin", "tri_parallel", "any_hit",
+        "mxu_leaf", "interpret",
     ),
 )
 def bvh8_intersect_pallas_raw(
     rays: Array,  # [G,8,8,128]
     nodes8: Array,  # [NR8,64,128]
-    tris: Array,  # [TR,12*MAX_LEAF,128]
+    tris: Array,  # [TR,12*MAX_LEAF,128], or [GL,8,6*MAX_LEAF] when mxu_leaf
     max_stack: int,
     base: int,
     tri_tmin: float,
     tri_parallel: float,
     any_hit: bool = False,
+    mxu_leaf: bool = False,
     interpret: bool = False,
 ):
     g = rays.shape[0]
@@ -347,6 +429,7 @@ def bvh8_intersect_pallas_raw(
         tri_tmin=tri_tmin,
         tri_parallel=tri_parallel,
         any_hit=any_hit,
+        mxu_leaf=mxu_leaf,
     )
     return pl.pallas_call(
         kernel,
@@ -444,7 +527,7 @@ def bvh_intersect_pallas(
         [ro, rd, t_init[:, None], resolved0[:, None]], axis=1
     )  # [N,8]
     if not presorted:
-        order, inverse = _coherence_order(scene, ro, rd, eps)
+        order, _ = _coherence_order(scene, ro, rd, eps)
         rays8 = jnp.take(rays8, order, axis=0)
 
     g = -(-n // PACKET)
@@ -457,16 +540,19 @@ def bvh_intersect_pallas(
 
     import os
 
-    if os.environ.get("RT_BVH_KERNEL", "wide") == "wide":
+    variant = os.environ.get("RT_BVH_KERNEL", "wide")
+    if variant in ("wide", "widemxu"):
+        mxu = variant == "widemxu"
         t, idx = bvh8_intersect_pallas_raw(
             rays,
             scene.bvh8_nodes_packed,
-            scene.bvh_tris_packed,
+            scene.bvh_tris_mxu if mxu else scene.bvh_tris_packed,
             max_stack=scene.bvh8_max_stack,
             base=scene.bvh_tri_start,
             tri_tmin=eps.tri_tmin,
             tri_parallel=eps.tri_parallel,
             any_hit=any_hit,
+            mxu_leaf=mxu,
             interpret=interpret,
         )
     else:
@@ -484,6 +570,12 @@ def bvh_intersect_pallas(
     t = t.reshape(-1)[:n]
     idx = idx.reshape(-1)[:n]
     if not presorted:
-        t = t[inverse]
-        idx = idx[inverse]
+        # Unsort by SORTING on the forward permutation: out[order[i]] = x[i]
+        # is exactly "sort x by key=order".  A 540k 2-operand lax.sort is
+        # ~0.76 ms on v5e where the equivalent 1-D gather-by-inverse
+        # measured 3.6 ms (profiler, round 3) — and no inverse permutation
+        # is ever materialized.  Separate sorts per output so XLA drops the
+        # idx one entirely for trace_t callers that discard it.
+        _, t = jax.lax.sort((order, t), num_keys=1)
+        _, idx = jax.lax.sort((order, idx), num_keys=1)
     return t, jnp.clip(idx, 0, scene.tri_a.shape[0] - 1)

@@ -203,7 +203,7 @@ def render_band_regen(
         done_miss = active & ~hit.valid
 
         # ---- 3) arrival: collect emission through the bounce ----
-        em_next = scene.obj_emitted[hit.obj]
+        em_next = brdf.take_obj_rows(scene.obj_emitted, hit.obj)
         if cfg.use_mis:
             hit_light = hit.obj == scene.light_idx
             cos_yb = jnp.maximum(vm.dot(hit.n, -rd), 1e-8)
