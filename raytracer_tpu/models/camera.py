@@ -36,7 +36,7 @@ def camera_basis(scene: SceneArrays, width: int, height: int, fov_scale: float):
     return cx, cy
 
 
-def camera_rays(
+def camera_rays3(
     scene: SceneArrays,
     width: int,
     height: int,
@@ -47,12 +47,13 @@ def camera_rays(
     sy: Array,  # [N] subpixel row in {0,1}
     u1: Array,  # [N] uniform for dx
     u2: Array,  # [N] uniform for dy
-) -> tuple[Array, Array]:
-    """Generate N camera rays -> (origins[N,3], unit directions[N,3]).
+) -> tuple[vm.V3, vm.V3]:
+    """Generate N camera rays in SoA form -> (ro=(x,y,z), rd=(x,y,z)).
 
     The hot math runs per COMPONENT on [N] vectors: [N,3] elementwise ops
     place the 3-axis on the 128-wide lane dimension (3/128 vreg occupancy)
-    and measured 8.2 ms at 540k lanes; the component form is ~40x denser.
+    and measured 8.2 ms at 540k lanes; the component form is ~40x denser
+    and returning components avoids the [N]->[N,3] interleave relayout.
     """
     w = jnp.float32(width)
     h = jnp.float32(height)
@@ -63,6 +64,20 @@ def camera_rays(
     fy = ((sy + 0.5 + dy) / 2.0 + py) / h - 0.5
     d = [cx[k] * fx + cy[k] * fy + scene.cam_dir[k] for k in range(3)]
     inv = 1.0 / jnp.sqrt(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
-    rd = jnp.stack([d[k] * inv for k in range(3)], axis=-1)
-    ro = jnp.broadcast_to(scene.cam_pos[None, :], rd.shape)
+    rd = tuple(d[k] * inv for k in range(3))
+    ro = tuple(jnp.broadcast_to(scene.cam_pos[k], rd[0].shape) for k in range(3))
     return ro, rd
+
+
+def camera_rays(
+    scene: SceneArrays,
+    width: int,
+    height: int,
+    fov_scale: float,
+    px: Array, py: Array, sx: Array, sy: Array, u1: Array, u2: Array,
+) -> tuple[Array, Array]:
+    """Array-layout wrapper over ``camera_rays3`` (cold/tool paths)."""
+    ro, rd = camera_rays3(
+        scene, width, height, fov_scale, px, py, sx, sy, u1, u2
+    )
+    return vm.stack3(ro), vm.stack3(rd)

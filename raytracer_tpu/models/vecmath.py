@@ -1,18 +1,64 @@
-"""Batched 3-vector math on ``[..., 3]`` jnp arrays.
+"""Batched 3-vector math on ``[..., 3]`` jnp arrays — plus SoA helpers.
 
 The reference implements a scalar ``Vec3`` with operator overloads
 (/root/reference/src/geometry.rs:21-369).  On TPU every operation is instead
-batched over a trailing axis of size 3 so the VPU sees dense lanes; there is
-no Vec3 object, just conventions:
+batched; two layouts coexist:
 
-- vectors are ``f32[..., 3]``
-- scalars broadcast with ``[..., None]``
+- **[..., 3] arrays** (the main API): vectors are ``f32[..., 3]``, scalars
+  broadcast with ``[..., None]``.  This is the integrator/engine layout —
+  XLA's fusion+layout passes handle the size-3 minor axis well INSIDE a
+  fused loop (an experiment converting the whole streaming engine to
+  component tuples measured 2.7x SLOWER on cornell_box — see
+  BENCHMARKS.md round-3 dead ends).
+- **component tuples ``(x, y, z)`` of [N] arrays** (the ``*3`` helpers
+  below): used inside the intersection kernels and sort-key code, where
+  standalone [N,3] slices/stacks at jit boundaries are measured cross-lane
+  relayouts.  ``as3``/``stack3`` convert at the boundaries.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 from jax import Array
+
+# --- SoA component-tuple helpers ([N]-vector triples) ---
+
+V3 = tuple[Array, Array, Array]
+
+
+def as3(v) -> V3:
+    """[..., 3] array (or already-a-tuple) -> component tuple."""
+    if isinstance(v, (tuple, list)):
+        return tuple(v)
+    return (v[..., 0], v[..., 1], v[..., 2])
+
+
+def stack3(v: V3) -> Array:
+    """Component tuple -> [..., 3] array (boundary use only)."""
+    return jnp.stack(tuple(v), axis=-1)
+
+
+def dot3(a: V3, b: V3) -> Array:
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def sub3(a: V3, b: V3) -> V3:
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def scale3(a: V3, s: Array) -> V3:
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def where3(m: Array, a, b) -> V3:
+    """Per-lane select between component tuples (scalars broadcast)."""
+    ax = a if isinstance(a, (tuple, list)) else (a, a, a)
+    bx = b if isinstance(b, (tuple, list)) else (b, b, b)
+    return tuple(jnp.where(m, ax[k], bx[k]) for k in range(3))
+
+
+def norm2_3(a: V3) -> Array:
+    return dot3(a, a)
 
 
 def dot(a: Array, b: Array) -> Array:

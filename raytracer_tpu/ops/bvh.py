@@ -479,16 +479,21 @@ def treetop_cut(bvh, max_cut: int = 32) -> np.ndarray:
 BLOCK = 128  # rays per packet (one full vreg lane row)
 
 
-def _morton12(p: Array, lo: Array, hi: Array) -> Array:
-    """12-bit Morton code (4 bits/axis) of points p[N,3] within box [lo,hi]."""
-    q = jnp.clip((p - lo) / jnp.maximum(hi - lo, 1e-6) * 15.0, 0.0, 15.0).astype(jnp.int32)
+def _morton12(p3, lo: Array, hi: Array) -> Array:
+    """12-bit Morton code (4 bits/axis) of points p=(x,y,z) in box [lo,hi]."""
 
     def spread(v):  # 4 bits -> every 3rd bit
         v = (v | (v << 4)) & 0x0C3
         v = (v | (v << 2)) & 0x249
         return v
 
-    return spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    q = [
+        jnp.clip(
+            (p3[k] - lo[k]) / jnp.maximum(hi[k] - lo[k], 1e-6) * 15.0, 0.0, 15.0
+        ).astype(jnp.int32)
+        for k in range(3)
+    ]
+    return spread(q[0]) | (spread(q[1]) << 1) | (spread(q[2]) << 2)
 
 
 def _cut_entry(scene, ro: Array, rd: Array, eps: Epsilons):
@@ -504,11 +509,14 @@ def _cut_entry(scene, ro: Array, rd: Array, eps: Epsilons):
     keeps every op lane-dense.  Ties resolve to the lowest cut index in
     both forms (strict <).
     """
+    from raytracer_tpu.models import vecmath as vm
+
     clo, chi = scene.bvh_cut_lo, scene.bvh_cut_hi  # [C,3]
-    n = ro.shape[0]
-    o = [ro[:, k] for k in range(3)]
+    o = vm.as3(ro)
+    rd3 = vm.as3(rd)
+    n = o[0].shape[0]
     inv = [
-        1.0 / jnp.where(jnp.abs(rd[:, k]) < 1e-12, jnp.float32(1e-12), rd[:, k])
+        1.0 / jnp.where(jnp.abs(rd3[k]) < 1e-12, jnp.float32(1e-12), rd3[k])
         for k in range(3)
     ]
     best_t = jnp.full((n,), jnp.inf)
@@ -540,13 +548,16 @@ def _coherence_key(scene, ro: Array, rd: Array, eps: Epsilons) -> Array:
     after one root test).  Secondary: direction octant; tertiary: 12-bit
     Morton code of the origin (ties within a subtree).
     """
+    from raytracer_tpu.models import vecmath as vm
+
+    ro, rd = vm.as3(ro), vm.as3(rd)
     root_lo, root_hi = scene.bvh_lo[0], scene.bvh_hi[0]
     entry, hit_any = _cut_entry(scene, ro, rd, eps)
     miss = (~hit_any).astype(jnp.int32)
     octant = (
-        (rd[:, 0] < 0).astype(jnp.int32)
-        + 2 * (rd[:, 1] < 0).astype(jnp.int32)
-        + 4 * (rd[:, 2] < 0).astype(jnp.int32)
+        (rd[0] < 0).astype(jnp.int32)
+        + 2 * (rd[1] < 0).astype(jnp.int32)
+        + 4 * (rd[2] < 0).astype(jnp.int32)
     )
     # Key order matters: origin Morton directly after the octant beats a
     # finer direction quantization (measured: inserting a 6-bit direction
@@ -651,6 +662,10 @@ def bvh_intersect(
     Returns (t[N] f32 — INF on miss, tri_idx[N] i32 — GLOBAL triangle index
     into scene.tri_* arrays).
     """
+    from raytracer_tpu.models import vecmath as vm
+
+    if isinstance(ro, (tuple, list)):  # SoA callers; this XLA path wants
+        ro, rd = vm.stack3(ro), vm.stack3(rd)  # [N,3] (CPU/oracle — cold)
     lo, hi = scene.bvh_lo, scene.bvh_hi
     skip, first, count = scene.bvh_skip, scene.bvh_first, scene.bvh_count
     n_nodes = lo.shape[0]

@@ -76,26 +76,33 @@ def tri_precompute(a: Array, b: Array, c: Array) -> TriPre:
     )
 
 
-def _dot_kn(p: Array, v: Array) -> Array:
-    """dot(p[K,3], v[N,3]) -> [K,N] via component FMAs (dense lanes)."""
+def _dot_kn(p: Array, v3) -> Array:
+    """dot(p[K,3], v=(x,y,z) of [N]) -> [K,N] via component FMAs.
+
+    ``v3`` is an SoA component tuple — [K,N] intermediates are fully
+    lane-dense and no [N,3] slice relayouts occur (each ``v[:, k]`` on an
+    [N,3] array is a cross-lane gather that measured ~1-2 ms per use at
+    540k lanes)."""
     return (
-        p[:, 0:1] * v[None, :, 0]
-        + p[:, 1:2] * v[None, :, 1]
-        + p[:, 2:3] * v[None, :, 2]
+        p[:, 0:1] * v3[0][None, :]
+        + p[:, 1:2] * v3[1][None, :]
+        + p[:, 2:3] * v3[2][None, :]
     )
 
 
 def intersect_spheres(
-    ro: Array, rd: Array, pos: Array, r: Array, valid: Array, eps: Epsilons
+    ro, rd, pos: Array, r: Array, valid: Array, eps: Epsilons
 ) -> Array:
     """t of nearest valid root per (sphere, ray) -> [S,N]; INF on miss.
 
     smallpt quadratic with near-root-then-far-root selection
-    (reference: src/geometry.rs:514-550).
+    (reference: src/geometry.rs:514-550).  ``ro``/``rd`` may be [N,3]
+    arrays or SoA component tuples (the hot path).
     """
-    b = _dot_kn(pos, rd) - vm.dot(ro, rd)[None, :]  # [S,N] op.d
+    ro, rd = vm.as3(ro), vm.as3(rd)
+    b = _dot_kn(pos, rd) - vm.dot3(ro, rd)[None, :]  # [S,N] op.d
     opop = (
-        vm.norm2(pos)[:, None] - 2.0 * _dot_kn(pos, ro) + vm.norm2(ro)[None, :]
+        vm.norm2(pos)[:, None] - 2.0 * _dot_kn(pos, ro) + vm.norm2_3(ro)[None, :]
     )  # [S,N] op.op
     det = b * b - opop + (r * r)[:, None]
     sq = jnp.sqrt(jnp.maximum(det, 0.0))
@@ -106,12 +113,13 @@ def intersect_spheres(
 
 
 def intersect_planes(
-    ro: Array, rd: Array, pos: Array, n: Array, valid: Array, eps: Epsilons
+    ro, rd, pos: Array, n: Array, valid: Array, eps: Epsilons
 ) -> Array:
     """t per (plane, ray) -> [P,N]; INF on miss.
 
     Reference: parallel cutoff |d.n|<1e-4, accepts t>=0 (src/geometry.rs:551-568).
     """
+    ro, rd = vm.as3(ro), vm.as3(rd)
     d_dot_n = _dot_kn(n, rd)  # [P,N]
     po_dot_n = vm.dot(pos, n)[:, None] - _dot_kn(n, ro)  # [P,N] (pos-ro).n
     t = po_dot_n / d_dot_n
@@ -120,7 +128,7 @@ def intersect_planes(
 
 
 def intersect_triangles(
-    ro: Array, rd: Array, pre: TriPre, valid: Array, eps: Epsilons
+    ro, rd, pre: TriPre, valid: Array, eps: Epsilons
 ) -> Array:
     """t per (triangle, ray) -> [T,N]; INF on miss.
 
@@ -128,6 +136,7 @@ def intersect_triangles(
     per-triangle q1=(e2 x n)/|n|^2, q2=(n x e1)/|n|^2 the test needs six
     [T,N] dot maps and a handful of FMAs (reference: src/geometry.rs:637-670).
     """
+    ro, rd = vm.as3(ro), vm.as3(rd)
     denom = _dot_kn(pre.n_unit, rd)  # [T,N] d.n
     t = (pre.n_d[:, None] - _dot_kn(pre.n_unit, ro)) / denom
     # p.q = ro.q + t * rd.q  without materializing p per pair
@@ -202,7 +211,8 @@ def _group_ts(
     path where pruning pays).  ``any_hit`` additionally lets the mesh
     search stop at the first sub-cap hit per ray (shadow queries).
     """
-    n_rays = ro.shape[0]
+    ro, rd = vm.as3(ro), vm.as3(rd)
+    n_rays = ro[0].shape[0]
     inf = jnp.full((n_rays,), INF)
     zero = jnp.zeros((n_rays,), jnp.int32)
 
@@ -299,23 +309,38 @@ def trace_t(
     return t, t < INF
 
 
-def trace(
+class HitSoA(NamedTuple):
+    """Nearest-hit record in SoA component form (hot-path variant of Hit)."""
+
+    t: Array  # [N]
+    pos: tuple  # (x, y, z) of [N]
+    n: tuple  # (x, y, z) of [N] — two-sided shading normal
+    obj: Array  # [N] i32
+    valid: Array  # [N] bool
+
+
+def trace_soa(
     scene: SceneArrays,
     pre: ScenePre,
-    ro: Array,
-    rd: Array,
+    ro,
+    rd,
     eps: Epsilons,
     t_cap: Array | None = None,
     presorted: bool = False,
-) -> Hit:
-    """Nearest hit of each ray against the whole scene.
+) -> HitSoA:
+    """Nearest hit of each ray against the whole scene (SoA form).
 
     Equivalent of Scene::trace_ray (src/scene.rs:272-289) for a wavefront:
     per-group argmin-t, then a cross-group argmin, then one gather of the
     winning primitive's attributes.  ``t_cap`` (per-ray) optionally prunes
     the mesh search like in trace_t — lanes that only need a bounded
     answer (fused shadow queries) pass their bound here.
+
+    All per-lane 3-vector math runs in component form ([N] vectors);
+    [N,3] intermediates would run at 3/128 vreg lane occupancy and every
+    slice/stack would relayout across lanes.
     """
+    ro, rd = vm.as3(ro), vm.as3(rd)
     (ts_best, ts_arg), (tp_best, tp_arg), (tt_best, tt_arg) = _group_ts(
         scene, pre, ro, rd, eps, t_cap=t_cap, presorted=presorted
     )
@@ -335,27 +360,35 @@ def trace(
     row = jnp.take(pre.att, idx, axis=0)  # [N,4]
     obj = row[:, 3].astype(jnp.int32)
 
-    # Normal + offset math per COMPONENT on [N] vectors ([N,3] elementwise
-    # ops run at 3/128 vreg lane occupancy — the component form is ~40x
-    # denser; same fix as camera_rays/_cut_entry).
     is_sph = group == 0
-    pos_raw = [ro[:, k] + t_best * rd[:, k] for k in range(3)]
-    v3 = [row[:, k] for k in range(3)]  # sphere center / plane n / tri n
-    d = [pos_raw[k] - v3[k] for k in range(3)]
-    inv_l = 1.0 / jnp.sqrt(
-        jnp.maximum(d[0] * d[0] + d[1] * d[1] + d[2] * d[2], 1e-20)
-    )
-    n_geo = [jnp.where(is_sph, d[k] * inv_l, v3[k]) for k in range(3)]
+    pos_raw = tuple(ro[k] + t_best * rd[k] for k in range(3))
+    v3 = vm.as3(row)  # sphere center / plane n / tri n
+    d = vm.sub3(pos_raw, v3)
+    inv_l = 1.0 / jnp.sqrt(jnp.maximum(vm.norm2_3(d), 1e-20))
+    n_geo = vm.where3(is_sph, vm.scale3(d, inv_l), v3)
     # Two-sided normal: keep when n.(-rd) >= 0 (src/geometry.rs:532,:558,:660).
-    keep = n_geo[0] * rd[:, 0] + n_geo[1] * rd[:, 1] + n_geo[2] * rd[:, 2] <= 0.0
-    sign = jnp.where(keep, 1.0, -1.0)
-    n_ff = [n_geo[k] * sign for k in range(3)]
+    sign = jnp.where(vm.dot3(n_geo, rd) <= 0.0, 1.0, -1.0)
+    n_ff = vm.scale3(n_geo, sign)
 
     # Hit-position offset along the normal: the reference offsets plane and
     # triangle hits by 1e-5*n (src/geometry.rs:561,:663) but not spheres.
     off = jnp.where(is_sph, 0.0, eps.hit_offset)
-    pos = jnp.stack([pos_raw[k] + off * n_ff[k] for k in range(3)], axis=-1)
+    pos = tuple(pos_raw[k] + off * n_ff[k] for k in range(3))
 
+    return HitSoA(t=t_best, pos=pos, n=n_ff, obj=obj, valid=valid)
+
+
+def trace(
+    scene: SceneArrays,
+    pre: ScenePre,
+    ro: Array,
+    rd: Array,
+    eps: Epsilons,
+    t_cap: Array | None = None,
+    presorted: bool = False,
+) -> Hit:
+    """Array-layout wrapper over ``trace_soa`` (oracle/test paths)."""
+    h = trace_soa(scene, pre, ro, rd, eps, t_cap=t_cap, presorted=presorted)
     return Hit(
-        t=t_best, pos=pos, n=jnp.stack(n_ff, axis=-1), obj=obj, valid=valid
+        t=h.t, pos=vm.stack3(h.pos), n=vm.stack3(h.n), obj=h.obj, valid=h.valid
     )

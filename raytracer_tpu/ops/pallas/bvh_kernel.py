@@ -511,32 +511,51 @@ def bvh_intersect_pallas(
     already-resolved flag; see ops.bvh.bvh_intersect for the pruning
     contract), and unsorts the results.  ``presorted`` callers (the
     streaming engine permutes its lane state by the same key) skip both.
+
+    ``ro``/``rd`` may be [N,3] arrays or SoA component tuples.  The
+    kernel's input layout is FIELD-major ([G, 8 fields, 8, 128]), so SoA
+    components pack with pure reshapes + one stack on a leading axis — no
+    cross-lane interleave at all (the [N,8] concat + transpose the array
+    form needs costs a relayout of every field).
     """
+    from raytracer_tpu.models import vecmath as vm
     from raytracer_tpu.ops.bvh import _coherence_order
 
-    n = ro.shape[0]
+    ro3, rd3 = vm.as3(ro), vm.as3(rd)
+    n = ro3[0].shape[0]
     if t_init is None:
         t_init = jnp.full((n,), INF, jnp.float32)
     if resolved0 is None:
         resolved0 = jnp.zeros((n,), jnp.float32)
     else:
         resolved0 = resolved0.astype(jnp.float32)
-    # Pack ray fields BEFORE permuting so the sort costs ONE row gather
-    # (separate ro[order]/rd[order]/... gathers measured ~2x slower).
-    rays8 = jnp.concatenate(
-        [ro, rd, t_init[:, None], resolved0[:, None]], axis=1
-    )  # [N,8]
+    fields = list(ro3) + list(rd3) + [t_init, resolved0]  # 8 x [N]
     if not presorted:
-        order, _ = _coherence_order(scene, ro, rd, eps)
+        # Pack ray fields BEFORE permuting so the sort costs ONE row gather
+        # (separate ro[order]/rd[order]/... gathers measured ~2x slower).
+        rays8 = jnp.stack(fields, axis=1)  # [N,8]
+        order, _ = _coherence_order(scene, ro3, rd3, eps)
         rays8 = jnp.take(rays8, order, axis=0)
-
-    g = -(-n // PACKET)
-    pad = g * PACKET - n
-    if pad:
-        # Padded lanes: degenerate rays (d=0 -> slab miss), resolved=1.
-        pad_row = jnp.zeros((pad, 8)).at[:, 7].set(1.0)
-        rays8 = jnp.concatenate([rays8, pad_row], axis=0)
-    rays = rays8.reshape(g, 8, 128, 8).transpose(0, 3, 1, 2)  # [G,8f,8,128]
+        g = -(-n // PACKET)
+        pad = g * PACKET - n
+        if pad:
+            # Padded lanes: degenerate rays (d=0 -> slab miss), resolved=1.
+            pad_row = jnp.zeros((pad, 8)).at[:, 7].set(1.0)
+            rays8 = jnp.concatenate([rays8, pad_row], axis=0)
+        rays = rays8.reshape(g, 8, 128, 8).transpose(0, 3, 1, 2)  # [G,8f,8,128]
+    else:
+        g = -(-n // PACKET)
+        pad = g * PACKET - n
+        if pad:
+            fields = [
+                jnp.concatenate(
+                    [f, jnp.full((pad,), 1.0 if k == 7 else 0.0, f.dtype)]
+                )
+                for k, f in enumerate(fields)
+            ]
+        rays = jnp.stack(
+            [f.reshape(g, 8, 128) for f in fields], axis=1
+        )  # [G,8f,8,128] — contiguous reshapes, no interleave
 
     import os
 
