@@ -31,11 +31,15 @@ from jax import Array
 
 from raytracer_tpu.config import Epsilons
 
-# Leaf size tuned on v5e (flying_unicorn sweep): 4->58s, 8->51s, 16->40s,
-# 32->33s, 64->29s, 128->27s-but-3x compile time.  Fat leaves win because a
+# Leaf size tuned on v5e.  Round-2 sweep (skip-link kernel, C_LEAF=12):
+# 4->58s, 8->51s, 16->40s, 32->33s, 64->29s.  Round-3 re-sweep with the
+# 8-wide stack kernel (flying_unicorn @16spp warm, C_LEAF in braces):
+# 64{12}=7.13, 64{6}=6.83, 128{12}=6.77, 128{6}=6.52, 128{3}=**6.46**,
+# 128{1.5}=6.48, 192{6}=6.71, 256{3}=6.74.  Fat leaves win because a
 # packet visit's fixed cost (node fetch + per-step overhead) dwarfs the
-# dense per-triangle VPU math.
-MAX_LEAF = 64
+# dense per-triangle VPU math; 128 with a near-flat leaf-cost model is
+# the optimum, at the price of a bigger kernel unroll (longer compiles).
+MAX_LEAF = 128
 INF = jnp.float32(3.0e38)
 
 
@@ -44,10 +48,11 @@ SAH_BINS = 16
 # MAX_LEAF slots on every leaf visit (static loops in bvh_intersect and the
 # Pallas kernel), so a leaf visit has FIXED cost regardless of how full the
 # leaf is — the SAH leaf term is therefore per-GROUP (ceil(N/max_leaf)), not
-# per-triangle, and packing leaves full is free.  C_LEAF is the measured
-# ratio of one leaf visit (MAX_LEAF dense triangle tests) to one internal
-# node visit (fetch + slab test).
-C_LEAF = 12.0
+# per-triangle, and packing leaves full is free.  Nominally the ratio of
+# one leaf visit to one internal-node visit; the round-3 sweep above found
+# the end-to-end optimum well BELOW the naive ratio (bigger leaves win
+# until ~flat), so it is a tuned constant, not a measured ratio.
+C_LEAF = 3.0
 
 
 def _half_area(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:

@@ -16,14 +16,17 @@ EPS = Epsilons()
 
 
 def test_pack_layout_roundtrip():
-    tris = random_tri_soup(100, seed=5)
+    # Large enough that the SAH build produces a real tree even at the
+    # production MAX_LEAF (a small soup packs into a single root leaf).
+    tris = random_tri_soup(600, seed=5)
     bvh, order = build_bvh(tris)
     lo, hi, skip, first, count = bvh
+    assert lo.shape[0] > 1, "soup too small to build a tree"
     padded = np.where(order[:, None, None] >= 0, tris[np.maximum(order, 0)], 0.0)
     nodes, packed_tris = pack_for_pallas(bvh, padded)
     n_nodes = lo.shape[0]
     # node i fields live at [i//128, f, i%128]
-    for i in (0, 1, n_nodes - 1):
+    for i in (0, n_nodes // 2, n_nodes - 1):
         got = nodes[i // 128, :9, i % 128]
         np.testing.assert_allclose(got[:3], lo[i], rtol=1e-6)
         np.testing.assert_allclose(got[3:6], hi[i], rtol=1e-6)
