@@ -102,6 +102,7 @@ class SceneArrays:
     # VMEM-packed forms for the Pallas traversal kernels (ops/pallas).
     bvh_nodes_packed: jnp.ndarray  # [NR,16,128] f32 (binary skip-link)
     bvh8_nodes_packed: jnp.ndarray  # [NR8,64,128] f32 (8-wide, stack walk)
+    bvh8_nodes_flat: jnp.ndarray  # [Nw,64] f32 (SMEM scalar-load variant)
     bvh_tris_packed: jnp.ndarray  # [TR, 12*MAX_LEAF, 128] f32
     bvh_tris_mxu: jnp.ndarray  # [GL, 8, 6*MAX_LEAF] f32 (MXU leaf matrices)
     # Treetop cut (max_cut=32 subtree-root AABBs by default) for the
@@ -248,7 +249,9 @@ def build_scene_arrays(
         nodes_packed, tris_packed = pack_for_pallas(bvh, tri_pts_ordered)
         tris_mxu = pack_tris_mxu(tri_pts_ordered)
         w_lo, w_hi, w_child, w_count, bvh8_max_stack = collapse_bvh8(bvh)
-        nodes8_packed = pack_bvh8_for_pallas(w_lo, w_hi, w_child, w_count)
+        nodes8_packed, nodes8_flat = pack_bvh8_for_pallas(
+            w_lo, w_hi, w_child, w_count
+        )
     else:
         # Minimal NON-zero dummies: zero-sized buffers trigger an XLA
         # argument-pruning bug under replicated (shard_map) CPU execution
@@ -261,6 +264,7 @@ def build_scene_arrays(
         bvh_lo, bvh_hi, bvh_skip, bvh_first, bvh_count = z3, z3, zi, zi, zi
         nodes_packed = np.zeros((1, 16, 128), f)
         nodes8_packed = np.zeros((1, 64, 128), f)
+        nodes8_flat = np.zeros((1, 64), f)
         tris_packed = np.zeros((1, 12 * MAX_LEAF, 128), f)
         tris_mxu = np.zeros((1, 8, 6 * MAX_LEAF), f)
         cut_lo, cut_hi = z3, z3
@@ -301,6 +305,7 @@ def build_scene_arrays(
         bvh_count=jnp.asarray(bvh_count),
         bvh_nodes_packed=jnp.asarray(nodes_packed),
         bvh8_nodes_packed=jnp.asarray(nodes8_packed),
+        bvh8_nodes_flat=jnp.asarray(nodes8_flat),
         bvh_tris_packed=jnp.asarray(tris_packed),
         bvh_tris_mxu=jnp.asarray(tris_mxu),
         bvh_cut_lo=jnp.asarray(cut_lo),

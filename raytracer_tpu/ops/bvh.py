@@ -424,12 +424,17 @@ def collapse_bvh8(bvh, width: int = BVH8_WIDTH):
     )
 
 
-def pack_bvh8_for_pallas(w_lo, w_hi, w_child, w_count) -> np.ndarray:
-    """Pack the wide-node table into the kernel's VMEM layout [NR,64,128]:
-    node i at [i//128, :, i%128], sublane field 8*s+k for child slot s =
-    [lo.xyz, hi.xyz, child, count] (ints exact in f32 below 2^24).
+def pack_bvh8_for_pallas(w_lo, w_hi, w_child, w_count):
+    """Pack the wide-node table into the kernel's layouts.
 
-    (An aligned-tile-per-node layout — one [8,128] dynamic tile read
+    Returns (vmem [NR,64,128], smem [Nw,64]): the VMEM form puts node i at
+    [i//128, :, i%128] with sublane field 8*s+k for child slot s =
+    [lo.xyz, hi.xyz, child, count] (ints exact in f32 below 2^24); the
+    SMEM form is the same 64 fields as a plain row per node, for the
+    scalar-memory kernel variant (node fields become native scalar loads
+    instead of a masked lane reduction + 64 vector extracts).
+
+    (An aligned-tile-per-node VMEM layout — one [8,128] dynamic tile read
     instead of the masked lane reduction — was built and measured SLOWER
     on v5e: kernel 25.2 vs 21.3 ms/1M coherent rays.  Mosaic's lane-masked
     block reduce beats dynamic sublane tile reads, consistent with the
@@ -446,7 +451,10 @@ def pack_bvh8_for_pallas(w_lo, w_hi, w_child, w_count) -> np.ndarray:
         flat[:n, 8 * s + 3 : 8 * s + 6] = w_hi[:, s]
         flat[:n, 8 * s + 6] = w_child[:, s].astype(np.float32)
         flat[:n, 8 * s + 7] = w_count[:, s].astype(np.float32)
-    return flat.reshape(nr, 128, 64).transpose(0, 2, 1).copy()
+    return (
+        flat.reshape(nr, 128, 64).transpose(0, 2, 1).copy(),
+        flat[:n].copy(),
+    )
 
 
 def treetop_cut(bvh, max_cut: int = 32) -> np.ndarray:

@@ -169,8 +169,15 @@ def _traverse8_kernel(
     tri_parallel: float,
     any_hit: bool,
     mxu_leaf: bool = False,
+    smem_nodes: bool = False,
 ):
     """8-wide BVH traversal with a per-packet SMEM stack.
+
+    ``smem_nodes``: nodes8_ref is instead a [Nw,64] SMEM array — node
+    fields become 64 native scalar loads per visit instead of a dynamic
+    VMEM block read + masked lane reduction + 64 vector extracts (the
+    node path dominated once leaves got fat: RT_LEAF_TRIS=0 measured
+    17.6 of the 21.1 ms/1M kernel).
 
     vs the binary skip-link kernel (_traverse_kernel): ONE node fetch
     (dynamic VMEM block read + masked lane reduction) now yields EIGHT
@@ -191,7 +198,8 @@ def _traverse8_kernel(
         1.0 / jnp.where(jnp.abs(d) < 1e-12, jnp.float32(1e-12), d) for d in rd
     ]
 
-    node_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 64, 128), 2)
+    if not smem_nodes:
+        node_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, 64, 128), 2)
     if not mxu_leaf:
         tri_lanes = jax.lax.broadcasted_iota(jnp.int32, (1, ml * 12, 128), 2)
 
@@ -286,7 +294,13 @@ def _traverse8_kernel(
             first = g * ml
             tb = tris_ref[pl.ds(g // 128, 1), :, :]  # [1,12*ml,128]
             tf = jnp.sum(jnp.where(tri_lanes == g % 128, tb, 0.0), axis=2)
-            for j in range(ml):
+            # RT_LEAF_TRIS: measurement hook — unroll only the first k
+            # triangle tests per leaf (k=0 isolates the fetch+reduce cost;
+            # the traversal then prunes less, so treat splits as bounds).
+            import os as _os
+
+            ml_test = int(_os.environ.get("RT_LEAF_TRIS", ml))
+            for j in range(min(ml, ml_test)):
                 f = tf[0, 12 * j : 12 * (j + 1)]  # [12]
                 nx, ny, nz, n_d = f[0], f[1], f[2], f[3]
                 q1x, q1y, q1z, q1a = f[4], f[5], f[6], f[7]
@@ -325,16 +339,26 @@ def _traverse8_kernel(
 
         def node_case(carry):
             sp, t_best, i_best = carry
-            blk = nodes8_ref[pl.ds(x // 128, 1), :, :]  # [1,64,128]
-            nf = jnp.sum(jnp.where(node_lanes == x % 128, blk, 0.0), axis=2)
+            if smem_nodes:
+                def nfld(f):  # native SMEM scalar load
+                    return nodes8_ref[x, f]
+            else:
+                blk = nodes8_ref[pl.ds(x // 128, 1), :, :]  # [1,64,128]
+                nf = jnp.sum(
+                    jnp.where(node_lanes == x % 128, blk, 0.0), axis=2
+                )
+
+                def nfld(f):  # vector extract from the reduced row
+                    return nf[0, f]
+
             tm = []  # per-child packet-min entry distance (-INF = no push)
             pv = []  # per-child encoded push value
             for c in range(8):
                 f0 = 8 * c
-                lo = [nf[0, f0], nf[0, f0 + 1], nf[0, f0 + 2]]
-                hi = [nf[0, f0 + 3], nf[0, f0 + 4], nf[0, f0 + 5]]
-                child = nf[0, f0 + 6].astype(jnp.int32)
-                cnt = nf[0, f0 + 7].astype(jnp.int32)
+                lo = [nfld(f0), nfld(f0 + 1), nfld(f0 + 2)]
+                hi = [nfld(f0 + 3), nfld(f0 + 4), nfld(f0 + 5)]
+                child = nfld(f0 + 6).astype(jnp.int32)
+                cnt = nfld(f0 + 7).astype(jnp.int32)
                 tnear = jnp.full((8, 128), -INF)
                 tfar = jnp.full((8, 128), INF)
                 for k in range(3):
@@ -407,12 +431,12 @@ def _traverse8_kernel(
     jax.jit,
     static_argnames=(
         "max_stack", "base", "tri_tmin", "tri_parallel", "any_hit",
-        "mxu_leaf", "interpret",
+        "mxu_leaf", "smem_nodes", "interpret",
     ),
 )
 def bvh8_intersect_pallas_raw(
     rays: Array,  # [G,8,8,128]
-    nodes8: Array,  # [NR8,64,128]
+    nodes8: Array,  # [NR8,64,128], or [Nw,64] when smem_nodes
     tris: Array,  # [TR,12*MAX_LEAF,128], or [GL,8,6*MAX_LEAF] when mxu_leaf
     max_stack: int,
     base: int,
@@ -420,6 +444,7 @@ def bvh8_intersect_pallas_raw(
     tri_parallel: float,
     any_hit: bool = False,
     mxu_leaf: bool = False,
+    smem_nodes: bool = False,
     interpret: bool = False,
 ):
     g = rays.shape[0]
@@ -430,13 +455,22 @@ def bvh8_intersect_pallas_raw(
         tri_parallel=tri_parallel,
         any_hit=any_hit,
         mxu_leaf=mxu_leaf,
+        smem_nodes=smem_nodes,
     )
+    if smem_nodes:
+        nodes_spec = pl.BlockSpec(
+            nodes8.shape, lambda i: (0, 0), memory_space=pltpu.SMEM
+        )
+    else:
+        nodes_spec = pl.BlockSpec(
+            nodes8.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
     return pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
             pl.BlockSpec((1, 8, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(nodes8.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            nodes_spec,
             pl.BlockSpec(tris.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -560,11 +594,12 @@ def bvh_intersect_pallas(
     import os
 
     variant = os.environ.get("RT_BVH_KERNEL", "wide")
-    if variant in ("wide", "widemxu"):
+    if variant in ("wide", "widemxu", "widesmem"):
         mxu = variant == "widemxu"
+        smem = variant == "widesmem"
         t, idx = bvh8_intersect_pallas_raw(
             rays,
-            scene.bvh8_nodes_packed,
+            scene.bvh8_nodes_flat if smem else scene.bvh8_nodes_packed,
             scene.bvh_tris_mxu if mxu else scene.bvh_tris_packed,
             max_stack=scene.bvh8_max_stack,
             base=scene.bvh_tri_start,
@@ -572,6 +607,7 @@ def bvh_intersect_pallas(
             tri_parallel=eps.tri_parallel,
             any_hit=any_hit,
             mxu_leaf=mxu,
+            smem_nodes=smem,
             interpret=interpret,
         )
     else:

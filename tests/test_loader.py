@@ -69,7 +69,9 @@ def test_flying_unicorn_mesh_and_bvh():
     assert s.n_triangles % 4 == 0
     assert s.use_bvh
     assert s.bvh_tri_start == 0  # no cube/prism objects in this scene
-    assert s.bvh_lo.shape[0] > 1000
+    # A real tree over 37,380 tris: at least ~2*ceil(F/MAX_LEAF)-1 nodes
+    # (tight only when every leaf is full; 719 at MAX_LEAF=128/C_LEAF=3).
+    assert s.bvh_lo.shape[0] > 500
     # skip links are monotonically bounded: skip[i] in (i, n_nodes]
     skip = np.asarray(s.bvh_skip)
     n = skip.shape[0]

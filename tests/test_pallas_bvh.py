@@ -63,7 +63,7 @@ def test_bvh8_collapse_invariants():
     assert max_stack >= 8
 
 
-@pytest.mark.parametrize("kernel", ["wide", "widemxu", "binary"])
+@pytest.mark.parametrize("kernel", ["wide", "widemxu", "widesmem", "binary"])
 def test_pallas_matches_xla_traversal_interpret(kernel, monkeypatch):
     monkeypatch.setenv("RT_BVH_KERNEL", kernel)
     tris = random_tri_soup(200, seed=6)
@@ -85,7 +85,7 @@ def test_pallas_matches_xla_traversal_interpret(kernel, monkeypatch):
     np.testing.assert_array_equal(np.asarray(i_pl)[hit_pl], np.asarray(i_ref)[hit_ref])
 
 
-@pytest.mark.parametrize("kernel", ["wide", "widemxu", "binary"])
+@pytest.mark.parametrize("kernel", ["wide", "widemxu", "widesmem", "binary"])
 def test_pallas_any_hit_parity_interpret(kernel, monkeypatch):
     """Shadow mode (t_init bound + any_hit + resolved0) agrees with the XLA
     traversal on WHICH lanes are occluded below their bound."""
