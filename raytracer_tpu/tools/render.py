@@ -29,6 +29,11 @@ def main(argv=None) -> int:
         "--no-shard", action="store_true",
         help="force the single-device renderer even with multiple devices",
     )
+    parser.add_argument(
+        "--profile", metavar="DIR", default=None,
+        help="capture a JAX profiler trace of the render into DIR "
+        "(view with tensorboard --logdir DIR)",
+    )
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -38,7 +43,7 @@ def main(argv=None) -> int:
     from raytracer_tpu.config import RenderConfig
     from raytracer_tpu.models.loader import load_scene
     from raytracer_tpu.utils.platform import enable_compilation_cache
-    from raytracer_tpu.utils.timing import RenderStats
+    from raytracer_tpu.utils.timing import RenderStats, device_trace
 
     enable_compilation_cache()
 
@@ -53,7 +58,7 @@ def main(argv=None) -> int:
     from raytracer_tpu.render.renderer import make_renderer
 
     renderer = make_renderer(scene, cfg, sharded=False if args.no_shard else None)
-    with stats.phase("render"):
+    with stats.phase("render"), device_trace(args.profile):
         img = renderer.render_image(args.spp)
     stats.rays = renderer.rays_traced()
 

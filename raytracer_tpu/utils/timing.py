@@ -58,6 +58,28 @@ class RenderStats:
         log.info("%srender stats: %s", prefix, self.summary())
 
 
+@contextlib.contextmanager
+def device_trace(trace_dir: str | None):
+    """Capture a JAX profiler trace (TensorBoard/Perfetto format) around a
+    render when ``trace_dir`` is set; no-op otherwise.
+
+    This is the device-side complement to RenderStats' host-side phase
+    timers (SURVEY §5 asks for both): the trace records per-HLO / per-Pallas
+    kernel device time, so e.g. the BVH traversal kernel vs the coherence
+    sort vs the shading ops can be apportioned directly.  View with
+    ``tensorboard --logdir <dir>`` (profile plugin) or upload the contained
+    ``*.trace.json.gz`` to Perfetto.
+    """
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(trace_dir):
+        yield
+    log.info("device trace written to %s", trace_dir)
+
+
 class Throughput:
     """Simple EMA throughput meter for streaming paths."""
 

@@ -39,6 +39,34 @@ def test_render_cli_mis_flag(tmp_path):
     assert rc == 0 and os.path.exists(out)
 
 
+def test_render_cli_profile_trace(tmp_path):
+    """--profile captures a JAX profiler trace of the render (SURVEY §5)."""
+    out = str(tmp_path / "prof.png")
+    trace_dir = str(tmp_path / "trace")
+    rc = render_main(
+        [
+            os.path.join(SCENES, "cornell_box.toml"),
+            "--spp", "4", "--out", out, "--width", "40", "--height", "30",
+            "--profile", trace_dir,
+        ]
+    )
+    assert rc == 0
+    # jax.profiler.trace writes plugins/profile/<run>/*.trace.json.gz (+ xplane)
+    found = []
+    for root, _, files in os.walk(trace_dir):
+        found += [f for f in files if ".trace.json" in f or f.endswith(".xplane.pb")]
+    assert found, f"no trace artifacts under {trace_dir}"
+
+    # Companion analyzer summarizes the same trace.
+    from raytracer_tpu.tools import top_ops
+
+    events = top_ops.load_trace_events(trace_dir)
+    assert events
+    rows, total_us = top_ops.summarize(events, top=5)
+    assert rows and total_us > 0
+    assert top_ops.main([trace_dir, "--top", "3"]) == 0
+
+
 def test_render_stats_phases_and_rates():
     st = RenderStats(pixels=100, samples=4)
     with st.phase("load"):
