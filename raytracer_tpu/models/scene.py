@@ -129,6 +129,9 @@ class SceneArrays:
     # Static SMEM stack bound for the 8-wide Pallas traversal (pops 1 /
     # pushes <=7 net per visit along one root-to-leaf path).
     bvh8_max_stack: int = struct.field(pytree_node=False, default=1)
+    # Whether bvh_tris_mxu holds real MXU leaf matrices (built only when
+    # RT_BVH_KERNEL=widemxu is set at scene-build time) or a dummy.
+    has_mxu_tris: bool = struct.field(pytree_node=False, default=False)
 
 
 def build_scene_arrays(
@@ -247,7 +250,21 @@ def build_scene_arrays(
             axis=1,
         )
         nodes_packed, tris_packed = pack_for_pallas(bvh, tri_pts_ordered)
-        tris_mxu = pack_tris_mxu(tri_pts_ordered)
+        # The MXU leaf matrices serve ONLY the env-gated RT_BVH_KERNEL=
+        # widemxu variant (a documented-negative result kept for
+        # re-measurement); they cost O(T) packing plus ~7 MB HBM per mesh
+        # scene, so build them only when that variant is selected at
+        # scene-build time (the parity tests setenv before loading).
+        import os as _os
+
+        has_mxu = _os.environ.get("RT_BVH_KERNEL") == "widemxu"
+        from raytracer_tpu.ops.bvh import MAX_LEAF as _ML
+
+        tris_mxu = (
+            pack_tris_mxu(tri_pts_ordered)
+            if has_mxu
+            else np.zeros((1, 8, 6 * _ML), f)
+        )
         w_lo, w_hi, w_child, w_count, bvh8_max_stack = collapse_bvh8(bvh)
         nodes8_packed, nodes8_flat = pack_bvh8_for_pallas(
             w_lo, w_hi, w_child, w_count
@@ -269,6 +286,7 @@ def build_scene_arrays(
         tris_mxu = np.zeros((1, 8, 6 * MAX_LEAF), f)
         cut_lo, cut_hi = z3, z3
         bvh8_max_stack = 1
+        has_mxu = False
 
     return SceneArrays(
         sph_pos=jnp.asarray(sph_pos),
@@ -321,4 +339,5 @@ def build_scene_arrays(
         use_bvh=bvh is not None,
         bvh_tri_start=bvh_tri_start,
         bvh8_max_stack=int(bvh8_max_stack),
+        has_mxu_tris=has_mxu,
     )

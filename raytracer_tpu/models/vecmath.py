@@ -18,6 +18,7 @@ batched; two layouts coexist:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -55,6 +56,31 @@ def where3(m: Array, a, b) -> V3:
     ax = a if isinstance(a, (tuple, list)) else (a, a, a)
     bx = b if isinstance(b, (tuple, list)) else (b, b, b)
     return tuple(jnp.where(m, ax[k], bx[k]) for k in range(3))
+
+
+def add3(a: V3, b: V3) -> V3:
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def mul3(a: V3, b: V3) -> V3:
+    """Hadamard product (Vec3::mult, src/geometry.rs)."""
+    return (a[0] * b[0], a[1] * b[1], a[2] * b[2])
+
+
+def cross3(a: V3, b: V3) -> V3:
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def normalize3(v: V3, eps: float = 0.0) -> V3:
+    """Unit vector via rsqrt; ``eps`` floors |v|^2 when nonzero."""
+    n2 = dot3(v, v)
+    if eps:
+        n2 = jnp.maximum(n2, eps)
+    return scale3(v, jax.lax.rsqrt(n2))
 
 
 def norm2_3(a: V3) -> Array:

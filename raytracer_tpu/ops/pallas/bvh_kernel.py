@@ -597,6 +597,11 @@ def bvh_intersect_pallas(
     if variant in ("wide", "widemxu", "widesmem"):
         mxu = variant == "widemxu"
         smem = variant == "widesmem"
+        if mxu and not scene.has_mxu_tris:
+            raise ValueError(
+                "RT_BVH_KERNEL=widemxu but the scene was built without MXU "
+                "leaf matrices — set the env var BEFORE loading the scene"
+            )
         t, idx = bvh8_intersect_pallas_raw(
             rays,
             scene.bvh8_nodes_flat if smem else scene.bvh8_nodes_packed,

@@ -46,6 +46,20 @@ from raytracer_tpu.config import RenderConfig
 from raytracer_tpu.models.camera import camera_basis
 from raytracer_tpu.models.scene import BRDF_SPECULAR, SceneArrays
 
+# Component-tuple vector algebra: the shared SoA helpers from
+# models/vecmath (one implementation repo-wide; they trace to identical
+# Mosaic code inside the kernel).
+from raytracer_tpu.models.vecmath import (
+    add3 as _add3,
+    cross3 as _cross3,
+    dot3 as _dot3,
+    mul3 as _mul3,
+    normalize3 as _normalize3,
+    scale3 as _scale3,
+    sub3 as _sub3,
+    where3 as _where3,
+)
+
 # Lanes per program = ROWS x 128.  ROWS=8 (one vreg per op) measured 77
 # Mrays/s on cornell: every op in the bounce chain depends on the previous
 # one, so the VPU stalls on op latency.  Wider blocks give Mosaic
@@ -76,44 +90,6 @@ def _uniform(seed, lane, it, draw):
     return (bits >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
 
 
-def _dot3(a, b):
-    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
-
-
-def _scale3(v, s):
-    return [v[0] * s, v[1] * s, v[2] * s]
-
-
-def _add3(a, b):
-    return [a[0] + b[0], a[1] + b[1], a[2] + b[2]]
-
-
-def _sub3(a, b):
-    return [a[0] - b[0], a[1] - b[1], a[2] - b[2]]
-
-
-def _mul3(a, b):
-    return [a[0] * b[0], a[1] * b[1], a[2] * b[2]]
-
-
-def _where3(m, a, b):
-    return [jnp.where(m, a[k], b[k]) for k in range(3)]
-
-
-def _cross3(a, b):
-    return [
-        a[1] * b[2] - a[2] * b[1],
-        a[2] * b[0] - a[0] * b[2],
-        a[0] * b[1] - a[1] * b[0],
-    ]
-
-
-def _normalize3(v, eps=0.0):
-    n2 = _dot3(v, v)
-    if eps:
-        n2 = jnp.maximum(n2, eps)
-    inv = jax.lax.rsqrt(n2)
-    return _scale3(v, inv)
 
 
 def _mega_kernel(
@@ -199,7 +175,7 @@ def _mega_kernel(
     sy = (sub // 2).astype(jnp.float32)
 
     z = jnp.zeros((rows, 128), jnp.float32)
-    zero3 = [z, z, z]
+    zero3 = (z, z, z)  # tuple: must match the vecmath helpers' pytree type
     hard_cap = num_samples * (max_depth + 2) + 64
 
     def obj_select(obj, field):

@@ -126,12 +126,17 @@ class ShardedRenderer(rnd.Renderer):
         rows_per_dev = -(-cfg.height // (n_bands * self.n_dev))
         return rows_per_dev * self.n_dev
 
-    def render_band_sums(self, y0: int, rows: int, k: int, n_passes: int, salt: int = 0):
+    def render_band_sums(
+        self, y0: int, rows: int, k: int, n_passes: int, salt: int = 0,
+        return_rays: bool = False,
+    ):
         assert rows % self.n_dev == 0
         sums, rays = render_bands_sharded(
             self.scene, self.pre, self.cfg,
             jnp.int32(y0), rows // self.n_dev, jnp.int32(k * n_passes),
             self._band_key(y0, salt), self.mesh,
         )
+        if return_rays:
+            return sums, rays
         self.ray_counts.append(rays)
         return sums

@@ -272,14 +272,24 @@ class Renderer:
         return k * n_passes
 
     def render_band_sums(
-        self, y0: int, rows: int, k: int, n_passes: int, salt: int = 0
+        self, y0: int, rows: int, k: int, n_passes: int, salt: int = 0,
+        return_rays: bool = False,
     ) -> Array:
         """Device sums [rows, W, 4, 3] for the band starting at render row y0.
 
         Rays traced are accumulated (lazily, as device scalars) on
-        ``self.ray_counts`` for Mrays/s accounting.
+        ``self.ray_counts`` for Mrays/s accounting — unless
+        ``return_rays=True``, which instead returns ``(sums, rays)`` and
+        leaves ``ray_counts`` untouched.  Concurrent callers sharing one
+        renderer (the server's warm-up thread vs a client render) must use
+        ``return_rays=True``: positional accounting on the shared list is
+        racy, and unbounded ``ray_counts`` growth would pin device scalars
+        for the life of a serving process.
         """
-        if self.cfg.engine in ("regen", "fused"):
+        # Every engine except the lockstep "simple" one is a streaming
+        # engine with the (num_samples-dynamic) signature — including
+        # "mega", whose TPU/support gating lives in render_band_streaming.
+        if self.cfg.engine != "simple":
             sums, rays = render_band_streaming(
                 self.scene, self.pre, self.cfg,
                 jnp.int32(y0), rows, jnp.int32(k * n_passes),
@@ -291,6 +301,8 @@ class Renderer:
                 jnp.int32(y0), rows, k, n_passes,
                 self._band_key(y0, salt),
             )
+        if return_rays:
+            return sums, rays
         self.ray_counts.append(rays)
         return sums
 

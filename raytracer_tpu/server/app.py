@@ -133,8 +133,18 @@ class RenderJob:
         loop = asyncio.get_running_loop()
         stats = RenderStats()
         stats.pixels = renderer.cfg.width * height
-        stats.samples = renderer.samples_rendered(spp) * 4  # spp delivered
-        rays_before = len(renderer.ray_counts)
+        # spp delivered: the progressive plan renders k_p*n_chunks samples
+        # per subpixel, the batch plan k*n_passes — they can differ for
+        # non-power-of-two spp.
+        if progressive:
+            _, k_p_, n_chunks_ = renderer.plan_progressive(spp)
+            stats.samples = k_p_ * n_chunks_ * 4
+        else:
+            stats.samples = renderer.samples_rendered(spp) * 4
+        # This render's ray counters, accumulated locally: the renderer is
+        # shared per-(scene,resolution) across connections and the warm-up
+        # thread, so positional slices of renderer.ray_counts are racy.
+        ray_counts: list = []
         bands = 0
 
         async def stream_rows(y0: int, rows: int, rgb: np.ndarray) -> None:
@@ -167,12 +177,13 @@ class RenderJob:
                 for y0, rows in renderer.iter_bands(spp, rows_p):
                     if cancelled():
                         break
-                    out = await loop.run_in_executor(
+                    out, nrays = await loop.run_in_executor(
                         None,
                         lambda y0=y0, chunk=chunk: renderer.render_band_sums(
-                            y0, rows_p, k_p, 1, salt=chunk
+                            y0, rows_p, k_p, 1, salt=chunk, return_rays=True
                         ),
                     )
+                    ray_counts.append(nrays)
                     bands += 1
                     sums[y0] = out if sums[y0] is None else sums[y0] + out
                     rgb = finalize(np.asarray(sums[y0]), (chunk + 1) * k_p)
@@ -189,23 +200,24 @@ class RenderJob:
                 for g0 in range(0, n_passes, g):
                     if cancelled():
                         break
-                    out = await loop.run_in_executor(
+                    out, nrays = await loop.run_in_executor(
                         None,
                         lambda y0=y0, g0=g0: renderer.render_band_sums(
-                            y0, rows_b, k, min(g, n_passes - g0), salt=g0
+                            y0, rows_b, k, min(g, n_passes - g0), salt=g0,
+                            return_rays=True,
                         ),
                     )
+                    ray_counts.append(nrays)
                     bands += 1
                     sums = out if sums is None else sums + out
                 if sums is not None and not cancelled():
                     rgb = finalize(np.asarray(sums), k * n_passes)
                     await stream_rows(y0, rows, rgb)
 
-        # Finalize the per-render stats: this render's ray counters are the
-        # tail of the (connection-cached) renderer's list; syncing the
-        # device here is off the streaming path.
+        # Finalize the per-render stats; syncing the device scalars here is
+        # off the streaming path.
         stats.bands = bands
-        stats.rays = int(sum(int(r) for r in renderer.ray_counts[rays_before:]))
+        stats.rays = int(sum(int(r) for r in ray_counts))
         self.stats = stats
         if want_stats and not cancelled():
             await self.send(json.dumps({"type": "render_stats", **stats.summary()}))
@@ -290,8 +302,10 @@ class Server:
                 try:
                     r = self.renderer_for(name, self.width, self.height)
                     rows, _, _ = r.plan(64)  # regen shapes are spp-agnostic
-                    r.render_band_sums(0, rows, 1, 1)
-                    r.ray_counts.clear()
+                    # return_rays=True keeps warm-up off the shared
+                    # ray_counts list: a client render in flight on the same
+                    # cached renderer must not see its accounting mutated.
+                    r.render_band_sums(0, rows, 1, 1, return_rays=True)
                     log.info(
                         "warm-up: %s %dx%d compiled in %.1fs",
                         name, self.width, self.height, _time.time() - t0,

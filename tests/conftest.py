@@ -27,10 +27,16 @@ def _build_native() -> None:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     native = os.path.join(root, "native")
     so = os.path.join(native, "librt_native.so")
-    src = os.path.join(native, "rt_native.cpp")
+    import glob
+
+    srcs = glob.glob(os.path.join(native, "*.cpp")) + [
+        os.path.join(native, "Makefile")
+    ]
     if shutil.which(os.environ.get("CXX", "g++")) is None:
         return
-    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+    if os.path.exists(so) and os.path.getmtime(so) >= max(
+        os.path.getmtime(s) for s in srcs
+    ):
         return
     subprocess.run(["make", "-C", native], check=False, capture_output=True)
 

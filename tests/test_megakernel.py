@@ -76,13 +76,26 @@ def test_mega_deterministic(cornell):
     assert int(ra) == int(rb)
 
 
-def test_mega_engine_falls_back_on_cpu(cornell):
+def test_mega_engine_falls_back_on_cpu(cornell, monkeypatch):
     """cfg.engine='mega' renders via the regen fallback on the CPU backend
     (the megakernel itself needs real TPU vregs; interpret mode is for
-    tests) — the public API keeps working everywhere."""
-    from raytracer_tpu.render.renderer import Renderer
+    tests) — the public API keeps working everywhere.  Crucially the
+    dispatch must go through the STREAMING path (render_band_streaming owns
+    the mega gating); a previous gate routed engine='mega' to the lockstep
+    engine, silently never running the megakernel even on TPU."""
+    from raytracer_tpu.render import renderer as renderer_mod
 
+    chosen = []
+    real = renderer_mod._streaming_jit
+
+    def spy(engine):
+        chosen.append(engine)
+        return real(engine)
+
+    monkeypatch.setattr(renderer_mod, "_streaming_jit", spy)
     cfg = RenderConfig(width=32, height=24, engine="mega", rays_per_pass=1 << 12)
-    img = Renderer(cornell, cfg).render_image(8)
+    img = renderer_mod.Renderer(cornell, cfg).render_image(8)
     assert img.shape == (24, 32, 3)
     assert img.max() > 0
+    # Streaming dispatch was used, and the CPU backend fell back to regen.
+    assert chosen and set(chosen) == {"regen"}

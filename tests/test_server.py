@@ -190,25 +190,35 @@ def test_progressive_restreams_pixels(server_port):
         import websockets
 
         async with websockets.connect(f"ws://127.0.0.1:{server_port}") as ws:
+            # spp=24 is deliberately non-power-of-two: the progressive plan
+            # delivers k_p*n_chunks = 1*6 samples/subpixel = 24 spp where
+            # the batch plan would overshoot to k*n_passes = 4*2 = 32 —
+            # stats.samples must report what the progressive path rendered.
             await ws.send(
                 json.dumps(
                     {
                         "type": "render",
                         "scene": "cornell_box",
-                        "spp": 16,
+                        "spp": 24,
                         "progressive": True,
+                        "stats": True,
                     }
                 )
             )
             total = 0
+            stats = None
             try:
                 while True:
                     raw = await asyncio.wait_for(ws.recv(), 60)
+                    if isinstance(raw, str):
+                        stats = json.loads(raw)
+                        continue
                     total += parse_chunk(raw)[3].shape[0]
             except asyncio.TimeoutError:
                 pass
             # full frame delivered at least twice (re-streamed refinement)
             assert total >= 2 * W * H
+            assert stats is not None and stats["samples"] == 24
 
     asyncio.run(go())
 
