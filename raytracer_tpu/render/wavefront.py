@@ -41,7 +41,7 @@ from jax import Array
 from raytracer_tpu.config import RenderConfig
 from raytracer_tpu.models import vecmath as vm
 from raytracer_tpu.models.camera import camera_rays
-from raytracer_tpu.models.scene import BRDF_SPECULAR, SceneArrays
+from raytracer_tpu.models.scene import BRDF_SPECULAR, LIGHT_SPHERE, SceneArrays
 from raytracer_tpu.ops import brdf
 from raytracer_tpu.ops.intersect import ScenePre, trace, trace_t
 from raytracer_tpu.render.integrator import sample_light
@@ -228,9 +228,23 @@ def render_band_regen(
         dist = vm.length(to_y)
         wi_d = to_y / jnp.maximum(dist, 1e-20)[:, None]
         r2 = jnp.maximum(dist * dist, 1e-20)
+        cos_y = vm.dot(ny, -wi_d)
         nee_lanes = valid & ~is_spec
-        rays = rays + jnp.sum(nee_lanes.astype(jnp.int32))
-        nee3 = nee_lanes[:, None]
+        # Back-face shadow cull (sphere lights, BVH scenes): a light sample
+        # on the far hemisphere (cos_y <= 0) is self-occluded by the convex
+        # light sphere, so the reference's visibility trace returns 0 for it
+        # anyway (src/scene.rs:219-227 has no cosine gate — occlusion does
+        # the zeroing; the only divergence is within the 1e-3 silhouette
+        # margin, where the cos_y factor makes the term ~0).  Uniform area
+        # sampling puts ~half of all light samples there, so culling them
+        # before the trace halves shadow BVH traversal.  Non-BVH scenes keep
+        # the unculled form: their shadow test is dense [prims,rays] math
+        # that masked lanes don't make cheaper, and renders stay
+        # bit-identical with the pre-cull code.
+        cull = scene.use_bvh and scene.light_type == LIGHT_SPHERE
+        shadow_lanes = nee_lanes & (cos_y > 0.0) if cull else nee_lanes
+        rays = rays + jnp.sum(shadow_lanes.astype(jnp.int32))
+        sh3 = shadow_lanes[:, None]
         # Shadow query bounded at dist - margin: finding a hit below
         # that bound is EXACTLY the reference's invisibility test
         # hit.t + margin < dist (src/scene.rs:258-270).  (any_hit=True
@@ -249,14 +263,15 @@ def render_band_regen(
         _shadow_inherit = _os.environ.get("RT_SHADOW_INHERIT", "0") == "1"
         sh_t, sh_valid = trace_t(
             scene, pre,
-            jnp.where(nee3, x, PARK_RO), jnp.where(nee3, wi_d, PARK_RD),
-            eps, t_max=jnp.where(nee_lanes, dist - eps.visibility_margin, 0.0),
+            jnp.where(sh3, x, PARK_RO), jnp.where(sh3, wi_d, PARK_RD),
+            eps, t_max=jnp.where(shadow_lanes, dist - eps.visibility_margin, 0.0),
             presorted=scene.use_bvh and _shadow_inherit,
         )
         vis = (~sh_valid) | (sh_t + eps.visibility_margin >= dist)
+        if cull:
+            vis = vis & (cos_y > 0.0)  # culled lanes were never traced
         f_d = brdf.eval_nonspecular(mat, nrm, o, wi_d, scene.has_phong)
         cos_x = vm.dot(nrm, wi_d)
-        cos_y = vm.dot(ny, -wi_d)
         if cfg.use_mis:
             pdf_l_sa_d = pdf_l * r2 / jnp.maximum(cos_y, 1e-8)
             pdf_b_at = brdf.pdf(mat, nrm, o, wi_d)
