@@ -223,6 +223,34 @@ def test_progressive_restreams_pixels(server_port):
     asyncio.run(go())
 
 
+def test_headless_client_fetches_png(server_port, tmp_path):
+    """clients/headless.py end-to-end: request, assemble, write a PNG."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "headless",
+        os.path.join(os.path.dirname(__file__), "..", "clients", "headless.py"),
+    )
+    headless = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(headless)
+
+    out = str(tmp_path / "fetched.png")
+    rc = headless.main(
+        [
+            "cornell_box", "--spp", "8", "--out", out,
+            "--url", f"ws://127.0.0.1:{server_port}",
+            "--width", str(W), "--height", str(H),
+            "--stats", "--timeout", "120",
+        ]
+    )
+    assert rc == 0
+    from PIL import Image
+
+    img = np.asarray(Image.open(out))
+    assert img.shape == (H, W, 3)
+    assert img.mean() > 5  # a real render, not black
+
+
 def test_unknown_scene_closes_connection(server_port):
     async def go():
         import websockets
