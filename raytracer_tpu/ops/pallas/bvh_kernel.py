@@ -351,8 +351,9 @@ def _traverse8_kernel(
                 def nfld(f):  # vector extract from the reduced row
                     return nf[0, f]
 
-            tm = []  # per-child packet-min entry distance (-INF = no push)
             pv = []  # per-child encoded push value
+            cnts = []
+            rowmins = []  # per-child [128] min-over-sublanes of masked tnear
             for c in range(8):
                 f0 = 8 * c
                 lo = [nfld(f0), nfld(f0 + 1), nfld(f0 + 2)]
@@ -367,15 +368,26 @@ def _traverse8_kernel(
                     tnear = jnp.maximum(tnear, jnp.minimum(t0, t1))
                     tfar = jnp.minimum(tfar, jnp.maximum(t0, t1))
                 ray_hit = (tnear <= tfar) & (tfar > tri_tmin) & (tnear < t_best)
-                hit_any = jnp.any(ray_hit)
                 # Encode: internal as wide-node id, leaf as -(group)-1
                 # (count==0 slots are empty and never pushed; the leaf body
                 # needs no count — padded slots are degenerate).
                 pv.append(jnp.where(cnt > 0, -(child // ml) - 1, child))
+                cnts.append(cnt)
+                # Defer the cross-lane reduction: fold sublanes now (cheap),
+                # stack the 8 children's rows, and pay ONE lane reduction
+                # for the whole node instead of 16 (any + min per child).
+                rowmins.append(
+                    jnp.min(jnp.where(ray_hit, tnear, INF), axis=0)  # [128]
+                )
+            tmin8 = jnp.min(jnp.stack(rowmins), axis=1)  # [8] per-child min
+            tm = []  # per-child packet-min entry distance (-INF = no push)
+            for c in range(8):
+                tmin_c = tmin8[c]
+                # hit_any == (some lane kept a finite tnear) == tmin_c < INF
                 tm.append(
                     jnp.where(
-                        hit_any & (cnt != 0),
-                        jnp.min(jnp.where(ray_hit, tnear, INF)),
+                        (tmin_c < jnp.float32(1e38)) & (cnts[c] != 0),
+                        tmin_c,
                         jnp.float32(-INF),
                     )
                 )
