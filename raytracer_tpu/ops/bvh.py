@@ -560,8 +560,25 @@ def _coherence_key(scene, ro: Array, rd: Array, eps: Epsilons) -> Array:
     other in origin space.  Missing rays sort last (their packets terminate
     after one root test).  Secondary: direction octant; tertiary: 12-bit
     Morton code of the origin (ties within a subtree).
+
+    On real TPUs the key is produced by a one-pass Pallas kernel
+    (ops/pallas/key_kernel.py, bit-identical output): XLA compiles the
+    static 32-node slab loop below into ~32 separate fusions that re-read
+    the ray columns from HBM each time — measured ~5 ms/iteration of the
+    streaming bounce loop at 540k lanes, the largest non-kernel cost.
     """
+    import os
+
     from raytracer_tpu.models import vecmath as vm
+
+    if (
+        jax.default_backend() == "tpu"
+        and not os.environ.get("RT_NO_PALLAS")
+        and os.environ.get("RT_KEY_KERNEL", "1") == "1"
+    ):
+        from raytracer_tpu.ops.pallas.key_kernel import coherence_key_pallas
+
+        return coherence_key_pallas(scene, ro, rd, eps)
 
     ro, rd = vm.as3(ro), vm.as3(rd)
     root_lo, root_hi = scene.bvh_lo[0], scene.bvh_hi[0]

@@ -605,7 +605,10 @@ def bvh_intersect_pallas(
 
     import os
 
-    variant = os.environ.get("RT_BVH_KERNEL", "wide")
+    # widesmem default: node fields as native SMEM scalar loads measured
+    # 5.46 vs 5.59 s end-to-end on flying_unicorn @16spp (and faster on
+    # both kbench shapes) vs the VMEM masked-lane-reduction form.
+    variant = os.environ.get("RT_BVH_KERNEL", "widesmem")
     if variant in ("wide", "widemxu", "widesmem"):
         mxu = variant == "widemxu"
         smem = variant == "widesmem"

@@ -227,8 +227,8 @@ class Renderer:
         """
         num_samples = spp // 4
         if num_samples >= 2**24:
-            # The streaming engine's sample counter rides an f32-packed lane
-            # column (exact below 2^24); see render_band_regen.
+            # The streaming engine's sample counter rides a 24-bit field of
+            # the bit-packed lane-state column; see render_band_regen.
             raise ValueError(f"spp {spp} exceeds the 2^24 samples/subpixel cap")
         if num_samples <= 0:
             return self._band_rows(1), 1, 0

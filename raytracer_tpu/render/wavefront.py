@@ -71,15 +71,10 @@ def render_band_regen(
     w = cfg.width
     n_pix = rows * w
     n = n_pix * 4  # one lane per (pixel, subpixel)
-    # The per-iteration coherence permutation round-trips small int lane
-    # state (slot, j, depth) through f32 columns, exact only below 2^24.
-    # Bands can never get that big today (rays_per_pass budgets are ~2^21)
-    # but the config invites raising them — fail loudly, not silently.
-    if n >= 2**24:
-        raise ValueError(
-            f"band has {n} lanes; the f32-packed lane permutation is exact "
-            "only below 2^24 — lower mesh_rays_per_pass/rays_per_pass"
-        )
+    # Int lane state travels through the coherence permutation BITCAST into
+    # f32 columns (pure data moves — bit-exact at any magnitude), so band
+    # size carries no exactness bound; j must stay below 2^24 for the
+    # packed (active|depth|j) field, which renderer.plan() enforces.
     light_e = scene.obj_emitted[scene.light_idx]
     num_samples = jnp.asarray(num_samples, jnp.int32)
 
@@ -155,33 +150,46 @@ def render_band_regen(
             # argsort.)
             from raytracer_tpu.ops.bvh import _coherence_order
 
+            # The row gather's cost is ~(fixed + per-column) per row
+            # (profiled: [N,23] 4.5ms vs [N,8] 2.6ms at 540k rows), so
+            # every column trimmed is real time.  The int lane state
+            # (active, depth, j; slot) travels BITCAST into f32 columns —
+            # concat/gather/slice are pure data moves, so arbitrary bit
+            # patterns (even NaN payloads) survive exactly, with no
+            # 2^24 conversion bound and no convert ops.
+            if cfg.max_depth >= 128:
+                raise ValueError(
+                    "max_depth >= 128 overflows the packed lane-state field"
+                )
+
             def permute(args):
                 (active, j, slot, depth, ro, rd, L, beta, emis, pdf_prev,
                  acc) = args
                 order, _ = _coherence_order(scene, ro, rd, eps)
-                # ONE row gather of the packed state: separate per-array
-                # takes measured 42ms vs ~6ms packed (TPU gathers amortize
-                # over the 92B row).  Small ints are exact in f32.
-                cols = jnp.concatenate(
-                    [
-                        active[:, None].astype(jnp.float32),
-                        j[:, None].astype(jnp.float32),
-                        slot[:, None].astype(jnp.float32),
-                        depth[:, None].astype(jnp.float32),
-                        ro, rd, L, beta, emis,
-                        pdf_prev[:, None], acc,
-                    ],
-                    axis=1,
-                )  # [N,23]
-                cols = jnp.take(cols, order, axis=0)
+                bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+                # active in the sign bit, depth in bits 24..30, j below
+                # (j < 2^24 == 64M samples/subpixel, far beyond MAX_SPP).
+                packed = bc(
+                    (active.astype(jnp.int32) << 31) | (depth << 24) | j
+                )
+                parts = [bc(slot)[:, None], packed[:, None],
+                         ro, rd, L, beta, emis, acc]
+                if cfg.use_mis:
+                    # NEE never reads pdf_prev: leaving it out of the
+                    # permutation lets XLA drop the carry entirely.
+                    parts.append(pdf_prev[:, None])
+                cols = jnp.take(jnp.concatenate(parts, axis=1), order, axis=0)
+                ub = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+                pk = ub(cols[:, 1])
                 return (
-                    cols[:, 0] > 0.5,
-                    cols[:, 1].astype(jnp.int32),
-                    cols[:, 2].astype(jnp.int32),
-                    cols[:, 3].astype(jnp.int32),
-                    cols[:, 4:7], cols[:, 7:10], cols[:, 10:13],
-                    cols[:, 13:16], cols[:, 16:19],
-                    cols[:, 19], cols[:, 20:23],
+                    pk < 0,
+                    pk & 0xFFFFFF,
+                    ub(cols[:, 0]),
+                    (pk >> 24) & 0x7F,
+                    cols[:, 2:5], cols[:, 5:8], cols[:, 8:11],
+                    cols[:, 11:14], cols[:, 14:17],
+                    cols[:, 20] if cfg.use_mis else pdf_prev,
+                    cols[:, 17:20],
                 )
 
             (active, j, slot, depth, ro, rd, L, beta, emis, pdf_prev,

@@ -139,3 +139,24 @@ def test_pallas_through_full_trace_interpret(monkeypatch):
         np.asarray(hit_pl.t)[m], np.asarray(hit_xla.t)[m], rtol=3e-4, atol=1e-4
     )
     np.testing.assert_array_equal(np.asarray(hit_pl.obj)[m], np.asarray(hit_xla.obj)[m])
+
+
+def test_key_kernel_bit_identical_interpret():
+    """The Pallas coherence-key kernel reproduces _coherence_key EXACTLY
+    (same slab arithmetic, tie rule, octant, Morton quantization)."""
+    from raytracer_tpu.ops.bvh import _coherence_key
+    from raytracer_tpu.ops.pallas.key_kernel import coherence_key_pallas
+
+    tris = random_tri_soup(400, seed=21)
+    s = _scene_with_mesh_bvh(tris)
+    rng = np.random.default_rng(22)
+    n = 1000  # not a multiple of the 256*128 block: exercises padding
+    ro = jnp.asarray(rng.uniform(-15, 15, (n, 3)), jnp.float32)
+    d = rng.normal(size=(n, 3))
+    # A few axis-aligned directions (zero components -> the 1e-12 guard)
+    d[:10] = np.eye(3)[np.arange(10) % 3]
+    rd = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+
+    k_xla = _coherence_key(s, ro, rd, EPS)
+    k_pl = coherence_key_pallas(s, ro, rd, EPS, interpret=True)
+    np.testing.assert_array_equal(np.asarray(k_xla), np.asarray(k_pl))
