@@ -74,9 +74,21 @@ class RenderConfig:
     rays_per_pass: int = 1 << 17
     # Mesh (BVH) scenes amortize their much heavier per-dispatch cost over
     # bigger bands (v5e sweep: 2^20 beat 2^17 by ~30% on flying_unicorn;
-    # 2^21 is another ~7% faster but doubles the worst-case cancellation
-    # latency to ~2.3 s/dispatch — batch renders may override).
-    mesh_rays_per_pass: int = 1 << 20
+    # 2^21 — the whole 600x450 frame as one band — is another ~6%).  2^21
+    # became the default once the round-3 kernel/glue optimizations pushed
+    # the per-dispatch wall under ~1.2 s, the same worst-case cancellation
+    # latency the 2^20 default was originally chosen for.
+    mesh_rays_per_pass: int = 1 << 21
+
+    # BVH tail compaction: each time <= half the current loop width's
+    # lanes still hold work, compact the stragglers (one extra stable
+    # state gather) into a half-width loop, so the fat Russian-roulette
+    # tail stops paying the full band's per-iteration permutation / sort /
+    # pack glue (which is N-proportional regardless of lane activity).
+    # Each stage costs one extra while-loop compile per band shape;
+    # tiny bands skip stages automatically (min width 1024 lanes).
+    tail_compact: bool = True
+    tail_compact_stages: int = 2
 
     # Integrator scheduling: "regen" = regenerating wavefront (dead lanes
     # immediately claim fresh camera samples, ~2x occupancy; production

@@ -600,10 +600,14 @@ def _coherence_key(scene, ro: Array, rd: Array, eps: Epsilons) -> Array:
 
 def _entry_bucket(scene, ro: Array, rd: Array, eps: Epsilons) -> Array:
     """Bucket id [N] i32: which treetop-cut subtree the ray enters first
-    (0..C-1), or C for root-missing rays (shared slab pass with
-    ``_coherence_key``'s primary term)."""
-    entry, hit_any = _cut_entry(scene, ro, rd, eps)
-    return jnp.where(hit_any, entry, scene.bvh_cut_lo.shape[0])
+    (0..C-1), or C for root-missing rays.
+
+    Decoded from ``_coherence_key``'s bit layout (miss<<30 | entry<<17 |
+    ...) rather than re-running the slab pass, so the bucket path shares
+    the Pallas key kernel on TPU."""
+    key = _coherence_key(scene, ro, rd, eps)
+    entry = (key >> 17) & 0x1FFF
+    return jnp.where(key >> 30 != 0, scene.bvh_cut_lo.shape[0], entry)
 
 
 def _bucket_order(scene, ro: Array, rd: Array, eps: Epsilons):

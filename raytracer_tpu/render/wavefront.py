@@ -94,6 +94,42 @@ def render_band_regen(
 
     zero3 = jnp.zeros((n, 3))
 
+    # Packed lane-state column layout (shared by the per-iteration coherence
+    # permutation and the tail-compaction gather): slot(0), meta(1),
+    # ro(2:5), rd(5:8), L(8:11), beta(11:14), emis(14:17), acc(17:20),
+    # pdf_prev(20, MIS only — NEE never reads it, and leaving it out lets
+    # XLA drop the carry entirely).  Int state travels BITCAST into the f32
+    # columns (concat/gather/slice are pure data moves — bit-exact at any
+    # magnitude): active in meta's sign bit, depth in bits 24..30, j below
+    # (j < 2^24 == 64M samples/subpixel, enforced by renderer.plan()).
+    if cfg.max_depth >= 128:
+        raise ValueError("max_depth >= 128 overflows the packed lane-state field")
+    _bc_f = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
+    _bc_i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
+
+    def pack_state(active, j, slot, depth, ro, rd, L, beta, emis, pdf_prev,
+                   acc):
+        meta = _bc_f((active.astype(jnp.int32) << 31) | (depth << 24) | j)
+        parts = [_bc_f(slot)[:, None], meta[:, None], ro, rd, L, beta, emis,
+                 acc]
+        if cfg.use_mis:
+            parts.append(pdf_prev[:, None])
+        return jnp.concatenate(parts, axis=1)
+
+    def unpack_state(cols, pdf_prev_passthru):
+        """cols [M, 20(+1)] -> state tuple; acc occupies cols 17:20."""
+        meta = _bc_i(cols[:, 1])
+        return (
+            meta < 0,
+            meta & 0xFFFFFF,
+            _bc_i(cols[:, 0]),
+            (meta >> 24) & 0x7F,
+            cols[:, 2:5], cols[:, 5:8], cols[:, 8:11],
+            cols[:, 11:14], cols[:, 14:17],
+            cols[:, 20] if cfg.use_mis else pdf_prev_passthru,
+            cols[:, 17:20],
+        )
+
     def cond(st):
         it, _rays, active, j, *_ = st
         return (it < hard_cap) & jnp.any(active | (j < num_samples))
@@ -101,6 +137,9 @@ def render_band_regen(
     def body(st):
         (it, rays, active, j, slot, depth, ro, rd, L, beta, emis, pdf_prev,
          acc) = st
+        # Width-agnostic: the same body serves the full band and the
+        # compacted straggler tail (shapes are static per trace).
+        n = active.shape[0]
 
         # ---- 1) regenerate: idle lanes start their next sample ----
         # Pixel/subpixel coordinates derive from the lane's carried SLOT id
@@ -150,51 +189,18 @@ def render_band_regen(
             # argsort.)
             from raytracer_tpu.ops.bvh import _coherence_order
 
-            # The row gather's cost is ~(fixed + per-column) per row
-            # (profiled: [N,23] 4.5ms vs [N,8] 2.6ms at 540k rows), so
-            # every column trimmed is real time.  The int lane state
-            # (active, depth, j; slot) travels BITCAST into f32 columns —
-            # concat/gather/slice are pure data moves, so arbitrary bit
-            # patterns (even NaN payloads) survive exactly, with no
-            # 2^24 conversion bound and no convert ops.
-            if cfg.max_depth >= 128:
-                raise ValueError(
-                    "max_depth >= 128 overflows the packed lane-state field"
-                )
-
-            def permute(args):
-                (active, j, slot, depth, ro, rd, L, beta, emis, pdf_prev,
-                 acc) = args
-                order, _ = _coherence_order(scene, ro, rd, eps)
-                bc = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
-                # active in the sign bit, depth in bits 24..30, j below
-                # (j < 2^24 == 64M samples/subpixel, far beyond MAX_SPP).
-                packed = bc(
-                    (active.astype(jnp.int32) << 31) | (depth << 24) | j
-                )
-                parts = [bc(slot)[:, None], packed[:, None],
-                         ro, rd, L, beta, emis, acc]
-                if cfg.use_mis:
-                    # NEE never reads pdf_prev: leaving it out of the
-                    # permutation lets XLA drop the carry entirely.
-                    parts.append(pdf_prev[:, None])
-                cols = jnp.take(jnp.concatenate(parts, axis=1), order, axis=0)
-                ub = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
-                pk = ub(cols[:, 1])
-                return (
-                    pk < 0,
-                    pk & 0xFFFFFF,
-                    ub(cols[:, 0]),
-                    (pk >> 24) & 0x7F,
-                    cols[:, 2:5], cols[:, 5:8], cols[:, 8:11],
-                    cols[:, 11:14], cols[:, 14:17],
-                    cols[:, 20] if cfg.use_mis else pdf_prev,
-                    cols[:, 17:20],
-                )
-
+            # ONE row gather of the whole packed state: separate per-array
+            # takes measured 42ms vs ~6ms packed (TPU gathers amortize over
+            # the row), and the gather's cost is ~(fixed + per-column), so
+            # every column trimmed is real time.
+            order, _ = _coherence_order(scene, ro, rd, eps)
+            cols = jnp.take(
+                pack_state(active, j, slot, depth, ro, rd, L, beta, emis,
+                           pdf_prev, acc),
+                order, axis=0,
+            )
             (active, j, slot, depth, ro, rd, L, beta, emis, pdf_prev,
-             acc) = permute((active, j, slot, depth, ro, rd, L, beta, emis,
-                             pdf_prev, acc))
+             acc) = unpack_state(cols, pdf_prev)
 
         # ---- 2) main trace (camera + continuation rays together) ----
         rays = rays + jnp.sum(active.astype(jnp.int32))
@@ -347,6 +353,63 @@ def render_band_regen(
         jnp.zeros(n),
         zero3,
     )
+    # ---- tail compaction (BVH scenes) ----
+    # In a closed scene lanes die only by Russian roulette (survival 0.9
+    # past depth 5), so per-lane run lengths have a fat geometric tail: the
+    # loop spends its last ~10 iterations with <25% of lanes holding work,
+    # while every iteration's permutation gather / sorts / shadow pack cost
+    # the FULL band width (~25 ms of N-proportional glue per iteration at
+    # 1M lanes).  Fix: run the full band only until <= N/4 lanes still have
+    # work, then compact the stragglers (one extra state gather, stable so
+    # the coherence order survives) into an N/4-wide loop that finishes the
+    # tail at a quarter of the glue cost.  Finished lanes' banked acc rides
+    # the compaction gather's tail rows.  Samples-per-lane regen makes the
+    # lane->pixel mapping travel in the state (slot column), so compaction
+    # composes with the per-iteration coherence permutation for free.
+    widths = []
+    if scene.use_bvh and cfg.tail_compact:
+        wcur = n
+        while len(widths) < cfg.tail_compact_stages:
+            cand = -(-(wcur // 2) // 1024) * 1024  # half, 1024-lane rounded
+            if cand >= wcur or cand < 1024:
+                break
+            widths.append(cand)
+            wcur = cand
+    if widths:
+        tail_slots, tail_accs = [], []
+        for w2 in widths:
+            def cond_wide(st, _w2=w2):
+                it, _rays, active, j, *_ = st
+                work = active | (j < num_samples)
+                return (
+                    (it < hard_cap)
+                    & jnp.any(work)
+                    & (jnp.sum(work.astype(jnp.int32)) > _w2)
+                )
+
+            st = jax.lax.while_loop(cond_wide, body, st)
+            (it, rays, active, j, slot, depth, ro, rd, L, beta, emis,
+             pdf_prev, acc) = st
+            work = active | (j < num_samples)
+            # Stable sort, working lanes first: survivors keep their
+            # coherence order, done lanes' final acc/slot land in the
+            # tail rows.
+            order2 = jnp.argsort(jnp.where(work, 0, 1), stable=True)
+            cols = jnp.take(
+                pack_state(active, j, slot, depth, ro, rd, L, beta, emis,
+                           pdf_prev, acc),
+                order2, axis=0,
+            )
+            tail_slots.append(_bc_i(cols[w2:, 0]))
+            tail_accs.append(cols[w2:, 17:20])
+            st = (it, rays) + unpack_state(cols[:w2], pdf_prev[:w2])
+        out = jax.lax.while_loop(cond, body, st)
+        rays = out[1]
+        slot = jnp.concatenate([out[4]] + tail_slots)
+        acc = jnp.concatenate([out[12]] + tail_accs, axis=0)
+        acc = jnp.take(acc, jnp.argsort(slot), axis=0)
+        return acc.reshape(rows, w, 4, 3), rays
+
     out = jax.lax.while_loop(cond, body, st)
     rays, slot, acc = out[1], out[4], out[12]
     if scene.use_bvh:

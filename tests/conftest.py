@@ -19,6 +19,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the streaming bounce-loop compiles dominate
+# suite wall time on this 1-core container (tens of minutes), and the
+# tail-compaction stages add one loop compile per width.  Cache them
+# across runs (keys include backend + full HLO, so edits invalidate
+# safely).  RT_TEST_CACHE=0 disables; RT_TEST_CACHE=<dir> relocates.
+_cache = os.environ.get("RT_TEST_CACHE", "/tmp/rt_jax_cache_tests")
+if _cache != "0":
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 def _build_native() -> None:
     """Build native/librt_native.so when a C++ toolchain exists, so the

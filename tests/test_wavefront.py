@@ -135,3 +135,28 @@ def test_bvh_scene_deterministic_given_seed():
     b = Renderer(scene, cfg).render_image(8)
     np.testing.assert_array_equal(a, b)
     assert a.max() == 255  # the light is visible (non-trivial image)
+
+
+def test_tail_compaction_agrees_and_disabled_path_matches():
+    """Tail compaction (staged half-width straggler loops) must agree with
+    the uncompacted engine in distribution; both must be deterministic.
+    The pre-compaction iterations consume identical RNG draws, so images
+    differ only through post-compaction straggler paths (small mad)."""
+    import dataclasses
+
+    import numpy as np
+
+    from tests.test_server_mesh import chair_scene
+    from raytracer_tpu.render.renderer import Renderer
+
+    scene = chair_scene()
+    cfg = RenderConfig(width=60, height=45, rays_per_pass=1 << 12,
+                       mesh_rays_per_pass=1 << 12, seed=7)
+    on = Renderer(scene, cfg).render_image(8).astype(np.float64)
+    off = Renderer(
+        scene, dataclasses.replace(cfg, tail_compact=False)
+    ).render_image(8).astype(np.float64)
+    # Same-seed Monte-Carlo agreement: measured means 65.95 vs 65.92,
+    # mad 0.55 at these shapes (CPU backend).
+    assert abs(on.mean() - off.mean()) < 1.5
+    assert np.abs(on - off).mean() < 3.0
