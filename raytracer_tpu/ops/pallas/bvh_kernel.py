@@ -565,7 +565,9 @@ def bvh_intersect_pallas(
     form needs costs a relayout of every field).
     """
     from raytracer_tpu.models import vecmath as vm
-    from raytracer_tpu.ops.bvh import _coherence_order
+    from raytracer_tpu.ops.bvh import _coherence_key, _coherence_order
+
+    import os
 
     ro3, rd3 = vm.as3(ro), vm.as3(rd)
     n = ro3[0].shape[0]
@@ -576,21 +578,122 @@ def bvh_intersect_pallas(
     else:
         resolved0 = resolved0.astype(jnp.float32)
     fields = list(ro3) + list(rd3) + [t_init, resolved0]  # 8 x [N]
+
+    # widesmem default: node fields as native SMEM scalar loads measured
+    # 5.46 vs 5.59 s end-to-end on flying_unicorn @16spp (and faster on
+    # both kbench shapes) vs the VMEM masked-lane-reduction form.
+    variant = os.environ.get("RT_BVH_KERNEL", "widesmem")
+
+    def run(rays):
+        """Dispatch the selected kernel variant on [G,8,8,128] packets."""
+        if variant in ("wide", "widemxu", "widesmem"):
+            mxu = variant == "widemxu"
+            smem = variant == "widesmem"
+            if mxu and not scene.has_mxu_tris:
+                raise ValueError(
+                    "RT_BVH_KERNEL=widemxu but the scene was built without "
+                    "MXU leaf matrices — set the env var BEFORE loading the "
+                    "scene"
+                )
+            return bvh8_intersect_pallas_raw(
+                rays,
+                scene.bvh8_nodes_flat if smem else scene.bvh8_nodes_packed,
+                scene.bvh_tris_mxu if mxu else scene.bvh_tris_packed,
+                max_stack=scene.bvh8_max_stack,
+                base=scene.bvh_tri_start,
+                tri_tmin=eps.tri_tmin,
+                tri_parallel=eps.tri_parallel,
+                any_hit=any_hit,
+                mxu_leaf=mxu,
+                smem_nodes=smem,
+                interpret=interpret,
+            )
+        return bvh_intersect_pallas_raw(
+            rays,
+            scene.bvh_nodes_packed,
+            scene.bvh_tris_packed,
+            n_nodes=scene.bvh_lo.shape[0],
+            base=scene.bvh_tri_start,
+            tri_tmin=eps.tri_tmin,
+            tri_parallel=eps.tri_parallel,
+            any_hit=any_hit,
+            interpret=interpret,
+        )
+
+    g = -(-n // PACKET)
     if not presorted:
         # Pack ray fields BEFORE permuting so the sort costs ONE row gather
         # (separate ro[order]/rd[order]/... gathers measured ~2x slower).
         rays8 = jnp.stack(fields, axis=1)  # [N,8]
-        order, _ = _coherence_order(scene, ro3, rd3, eps)
-        rays8 = jnp.take(rays8, order, axis=0)
-        g = -(-n // PACKET)
-        pad = g * PACKET - n
-        if pad:
-            # Padded lanes: degenerate rays (d=0 -> slab miss), resolved=1.
-            pad_row = jnp.zeros((pad, 8)).at[:, 7].set(1.0)
-            rays8 = jnp.concatenate([rays8, pad_row], axis=0)
-        rays = rays8.reshape(g, 8, 128, 8).transpose(0, 3, 1, 2)  # [G,8f,8,128]
+        # Shadow-wavefront compaction: lanes needing no mesh query — root
+        # misses (parked / back-face-culled rays) and lanes resolved before
+        # the mesh search (occluded by a sphere/plane, or t_cap <= 0) —
+        # sort to the TAIL (the key's bit 30).  In production ~half or more
+        # of each NEE wavefront is such dead freight (the cull alone
+        # removes ~half), so when the live count fits, dispatch the pack
+        # gather + kernel on only the first half of the sorted packets; the
+        # tail's result is its own t_init, which is exactly what the kernel
+        # returns for resolved lanes.  lax.cond falls back to the full
+        # width when more than half the lanes are live.
+        # Measured WALL-NEUTRAL end-to-end (BENCHMARKS.md round-3 dead
+        # ends: 3.89 vs 3.91 s on flying_unicorn @16spp, both slice-on-live
+        # and forced-always-slice) — kept env-gated OFF for re-measurement
+        # if the glue/kernel cost ratio shifts.
+        compact = (
+            any_hit
+            and g >= 2
+            and os.environ.get("RT_SHADOW_COMPACT", "0") != "0"
+        )
+        if compact:
+            key = _coherence_key(scene, ro3, rd3, eps)
+            key = key | ((resolved0 >= 0.5).astype(jnp.int32) << 30)
+            # (Bypasses RT_BUCKET_SORT's counting sort — that measurement
+            # hook only reroutes the main-trace order.)
+            order = jnp.argsort(key)
+            g_half = (g + 1) // 2
+            n_half = g_half * PACKET  # < n whenever g >= 2
+            n_live = jnp.sum(((key >> 30) == 0).astype(jnp.int32))
+
+            def sliced(r8):
+                # HALF the pack gather: only the live prefix's rows move.
+                r = jnp.take(r8, order[:n_half], axis=0)
+                rp = r.reshape(g_half, 8, 128, 8).transpose(0, 3, 1, 2)
+                t, idx = run(rp)
+                return (
+                    jnp.concatenate(
+                        [t.reshape(-1), jnp.take(t_init, order[n_half:])]
+                    ),
+                    jnp.concatenate(
+                        [idx.reshape(-1), jnp.zeros((n - n_half,), jnp.int32)]
+                    ),
+                )
+
+            def full(r8):
+                r = jnp.take(r8, order, axis=0)
+                pad = g * PACKET - n
+                if pad:
+                    pad_row = jnp.zeros((pad, 8)).at[:, 7].set(1.0)
+                    r = jnp.concatenate([r, pad_row], axis=0)
+                rp = r.reshape(g, 8, 128, 8).transpose(0, 3, 1, 2)
+                t, idx = run(rp)
+                return t.reshape(-1)[:n], idx.reshape(-1)[:n]
+
+            if os.environ.get("RT_SHADOW_COMPACT") == "force":
+                t, idx = sliced(rays8)  # timing probe: image invalid if >half live
+            else:
+                t, idx = jax.lax.cond(n_live <= n_half, sliced, full, rays8)
+        else:
+            order, _ = _coherence_order(scene, ro3, rd3, eps)
+            rays8 = jnp.take(rays8, order, axis=0)
+            pad = g * PACKET - n
+            if pad:
+                # Padded lanes: degenerate rays (d=0 -> slab miss), resolved=1.
+                pad_row = jnp.zeros((pad, 8)).at[:, 7].set(1.0)
+                rays8 = jnp.concatenate([rays8, pad_row], axis=0)
+            rays = rays8.reshape(g, 8, 128, 8).transpose(0, 3, 1, 2)
+            t, idx = run(rays)
+            t, idx = t.reshape(-1), idx.reshape(-1)
     else:
-        g = -(-n // PACKET)
         pad = g * PACKET - n
         if pad:
             fields = [
@@ -602,48 +705,10 @@ def bvh_intersect_pallas(
         rays = jnp.stack(
             [f.reshape(g, 8, 128) for f in fields], axis=1
         )  # [G,8f,8,128] — contiguous reshapes, no interleave
-
-    import os
-
-    # widesmem default: node fields as native SMEM scalar loads measured
-    # 5.46 vs 5.59 s end-to-end on flying_unicorn @16spp (and faster on
-    # both kbench shapes) vs the VMEM masked-lane-reduction form.
-    variant = os.environ.get("RT_BVH_KERNEL", "widesmem")
-    if variant in ("wide", "widemxu", "widesmem"):
-        mxu = variant == "widemxu"
-        smem = variant == "widesmem"
-        if mxu and not scene.has_mxu_tris:
-            raise ValueError(
-                "RT_BVH_KERNEL=widemxu but the scene was built without MXU "
-                "leaf matrices — set the env var BEFORE loading the scene"
-            )
-        t, idx = bvh8_intersect_pallas_raw(
-            rays,
-            scene.bvh8_nodes_flat if smem else scene.bvh8_nodes_packed,
-            scene.bvh_tris_mxu if mxu else scene.bvh_tris_packed,
-            max_stack=scene.bvh8_max_stack,
-            base=scene.bvh_tri_start,
-            tri_tmin=eps.tri_tmin,
-            tri_parallel=eps.tri_parallel,
-            any_hit=any_hit,
-            mxu_leaf=mxu,
-            smem_nodes=smem,
-            interpret=interpret,
-        )
-    else:
-        t, idx = bvh_intersect_pallas_raw(
-            rays,
-            scene.bvh_nodes_packed,
-            scene.bvh_tris_packed,
-            n_nodes=scene.bvh_lo.shape[0],
-            base=scene.bvh_tri_start,
-            tri_tmin=eps.tri_tmin,
-            tri_parallel=eps.tri_parallel,
-            any_hit=any_hit,
-            interpret=interpret,
-        )
-    t = t.reshape(-1)[:n]
-    idx = idx.reshape(-1)[:n]
+        t, idx = run(rays)
+        t, idx = t.reshape(-1), idx.reshape(-1)
+    t = t[:n]
+    idx = idx[:n]
     if not presorted:
         # Unsort by SORTING on the forward permutation: out[order[i]] = x[i]
         # is exactly "sort x by key=order".  A 540k 2-operand lax.sort is

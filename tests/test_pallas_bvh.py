@@ -112,6 +112,44 @@ def test_pallas_any_hit_parity_interpret(kernel, monkeypatch):
     np.testing.assert_array_equal(occ_x[m], occ_p[m])
 
 
+@pytest.mark.parametrize("live_frac", [0.3, 0.9])
+def test_pallas_shadow_compaction_interpret(live_frac, monkeypatch):
+    """Sliced shadow dispatch (live lanes <= half the packets -> kernel on
+    the first half of the sorted wavefront) agrees with the uncompacted
+    path on occlusion, at both a compactable live fraction (0.3 takes the
+    sliced branch) and an overfull one (0.9 exercises the cond fallback)."""
+    monkeypatch.setenv("RT_BVH_KERNEL", "widesmem")
+    tris = random_tri_soup(150, seed=23)
+    s = _scene_with_mesh_bvh(tris)
+    rng = np.random.default_rng(24)
+    n = 2500  # > 2 packets so the compaction gate opens
+    live = rng.random(n) < live_frac
+    ro = np.where(
+        live[:, None], rng.uniform(-12, 12, (n, 3)), 3.0e7
+    ).astype(np.float32)
+    d = np.where(live[:, None], rng.normal(size=(n, 3)), [1.0, 0.0, 0.0])
+    rd = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), jnp.float32)
+    ro = jnp.asarray(ro)
+    bound = jnp.asarray(
+        np.where(live, rng.uniform(1.0, 25.0, n), 0.0), jnp.float32
+    )
+    resolved = jnp.asarray(~live)
+
+    monkeypatch.setenv("RT_SHADOW_COMPACT", "0")
+    t_u, _ = bvh_intersect_pallas(s, ro, rd, EPS, t_init=bound, any_hit=True,
+                                  resolved0=resolved.astype(jnp.float32),
+                                  interpret=True)
+    monkeypatch.setenv("RT_SHADOW_COMPACT", "1")
+    t_c, _ = bvh_intersect_pallas(s, ro, rd, EPS, t_init=bound, any_hit=True,
+                                  resolved0=resolved.astype(jnp.float32),
+                                  interpret=True)
+    occ_u = np.asarray(t_u) < np.asarray(bound)
+    occ_c = np.asarray(t_c) < np.asarray(bound)
+    np.testing.assert_array_equal(occ_u[live], occ_c[live])
+    # Dead lanes return their own t_init bound (0.0 here): never "occluded".
+    assert not occ_c[~live].any()
+
+
 def test_pallas_through_full_trace_interpret(monkeypatch):
     tris = random_tri_soup(80, seed=8)
     s = _scene_with_mesh_bvh(tris)
