@@ -96,9 +96,14 @@ def render_band_regen(
 
     # Packed lane-state column layout (shared by the per-iteration coherence
     # permutation and the tail-compaction gather): slot(0), meta(1),
-    # ro(2:5), rd(5:8), L(8:11), beta(11:14), emis(14:17), acc(17:20),
-    # pdf_prev(20, MIS only — NEE never reads it, and leaving it out lets
-    # XLA drop the carry entirely).  Int state travels BITCAST into the f32
+    # ro(2:5), rd(5:8), beta(8:11), emis(11:14), acc(14:17),
+    # pdf_prev(17, MIS only — NEE never reads it, and leaving it out lets
+    # XLA drop the carry entirely).  There is NO per-path radiance column:
+    # every bounce contribution banks straight into the lane accumulator
+    # ``acc`` (paths always complete — miss, RR, dead BSDF, or depth cap —
+    # so the sum is the same terms in the same order; dropping the carried
+    # L trims 3 columns off the per-iteration permutation gather, whose
+    # cost is ~(fixed + per-column)).  Int state travels BITCAST into the f32
     # columns (concat/gather/slice are pure data moves — bit-exact at any
     # magnitude): active in meta's sign bit, depth in bits 24..30, j below
     # (j < 2^24 == 64M samples/subpixel, enforced by renderer.plan()).
@@ -107,27 +112,27 @@ def render_band_regen(
     _bc_f = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
     _bc_i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
 
-    def pack_state(active, j, slot, depth, ro, rd, L, beta, emis, pdf_prev,
+    def pack_state(active, j, slot, depth, ro, rd, beta, emis, pdf_prev,
                    acc):
         meta = _bc_f((active.astype(jnp.int32) << 31) | (depth << 24) | j)
-        parts = [_bc_f(slot)[:, None], meta[:, None], ro, rd, L, beta, emis,
+        parts = [_bc_f(slot)[:, None], meta[:, None], ro, rd, beta, emis,
                  acc]
         if cfg.use_mis:
             parts.append(pdf_prev[:, None])
         return jnp.concatenate(parts, axis=1)
 
     def unpack_state(cols, pdf_prev_passthru):
-        """cols [M, 20(+1)] -> state tuple; acc occupies cols 17:20."""
+        """cols [M, 17(+1)] -> state tuple; acc occupies cols 14:17."""
         meta = _bc_i(cols[:, 1])
         return (
             meta < 0,
             meta & 0xFFFFFF,
             _bc_i(cols[:, 0]),
             (meta >> 24) & 0x7F,
-            cols[:, 2:5], cols[:, 5:8], cols[:, 8:11],
-            cols[:, 11:14], cols[:, 14:17],
-            cols[:, 20] if cfg.use_mis else pdf_prev_passthru,
-            cols[:, 17:20],
+            cols[:, 2:5], cols[:, 5:8],
+            cols[:, 8:11], cols[:, 11:14],
+            cols[:, 17] if cfg.use_mis else pdf_prev_passthru,
+            cols[:, 14:17],
         )
 
     def cond(st):
@@ -135,7 +140,7 @@ def render_band_regen(
         return (it < hard_cap) & jnp.any(active | (j < num_samples))
 
     def body(st):
-        (it, rays, active, j, slot, depth, ro, rd, L, beta, emis, pdf_prev,
+        (it, rays, active, j, slot, depth, ro, rd, beta, emis, pdf_prev,
          acc) = st
         # Width-agnostic: the same body serves the full band and the
         # compacted straggler tail (shapes are static per trace).
@@ -160,7 +165,6 @@ def render_band_regen(
         ro = jnp.where(g3, cro, ro)
         rd = jnp.where(g3, crd, rd)
         depth = jnp.where(got, 0, depth)
-        L = jnp.where(g3, 0.0, L)
         beta = jnp.where(g3, 1.0, beta)
         # A camera ray collects its first vertex's emission at weight 1
         # (Scene::received_radiance, src/scene.rs:152-159).
@@ -195,11 +199,11 @@ def render_band_regen(
             # every column trimmed is real time.
             order, _ = _coherence_order(scene, ro, rd, eps)
             cols = jnp.take(
-                pack_state(active, j, slot, depth, ro, rd, L, beta, emis,
+                pack_state(active, j, slot, depth, ro, rd, beta, emis,
                            pdf_prev, acc),
                 order, axis=0,
             )
-            (active, j, slot, depth, ro, rd, L, beta, emis, pdf_prev,
+            (active, j, slot, depth, ro, rd, beta, emis, pdf_prev,
              acc) = unpack_state(cols, pdf_prev)
 
         # ---- 2) main trace (camera + continuation rays together) ----
@@ -214,18 +218,22 @@ def render_band_regen(
 
         hit = trace(scene, pre, ro, rd, eps, presorted=scene.use_bvh)
         valid = active & hit.valid
-        done_miss = active & ~hit.valid
 
         # ---- 3) arrival: collect emission through the bounce ----
+        # Contributions bank STRAIGHT into acc (see the layout note above):
+        # paths always terminate, so acc's final value is the same sum of
+        # the same terms, without a carried per-path L column.
         em_next = brdf.take_obj_rows(scene.obj_emitted, hit.obj)
         if cfg.use_mis:
             hit_light = hit.obj == scene.light_idx
             cos_yb = jnp.maximum(vm.dot(hit.n, -rd), 1e-8)
             pdf_l_sa = (hit.t * hit.t) / (cos_yb * scene.light_area)
             w_b = jnp.where(hit_light, pdf_prev / (pdf_prev + pdf_l_sa), 1.0)
-            L = jnp.where(valid[:, None], L + emis * em_next * w_b[:, None], L)
+            acc = jnp.where(
+                valid[:, None], acc + emis * em_next * w_b[:, None], acc
+            )
         else:
-            L = jnp.where(valid[:, None], L + emis * em_next, L)
+            acc = jnp.where(valid[:, None], acc + emis * em_next, acc)
 
         x = hit.pos
         nrm = hit.n
@@ -298,7 +306,7 @@ def render_band_regen(
         else:
             scale = jnp.where(vis, 1.0, 0.0) * cos_x * cos_y / (r2 * pdf_l)
             direct = light_e[None, :] * f_d * scale[:, None]
-        L = L + jnp.where(nee_lanes[:, None], beta * direct, 0.0)
+        acc = acc + jnp.where(nee_lanes[:, None], beta * direct, 0.0)
 
         p = jnp.where(depth <= cfg.rr_start_depth, 1.0, cfg.rr_survival)
         cont = valid & (us[i_rr] < p) & (depth < cfg.max_depth)
@@ -327,15 +335,12 @@ def render_band_regen(
             emis = jnp.where(is_spec[:, None], beta / p[:, None], 0.0)
             pdf_prev = pdf_b
 
-        # ---- 5) completion: bank finished paths into the lane register ----
-        completed = done_miss | (valid & ~live)
-        acc = acc + jnp.where(completed[:, None], L, 0.0)
-
+        # ---- 5) continue: dead paths regenerate at the next iteration ----
         active = live
         beta = beta_next
         ro = jnp.where(live[:, None], x, ro)
         rd = jnp.where(live[:, None], wi, rd)
-        return (it + 1, rays, active, j, slot, depth, ro, rd, L, beta, emis,
+        return (it + 1, rays, active, j, slot, depth, ro, rd, beta, emis,
                 pdf_prev, acc)
 
     st = (
@@ -345,7 +350,6 @@ def render_band_regen(
         jnp.zeros(n, jnp.int32),
         jnp.arange(n, dtype=jnp.int32),  # slot: lane -> (pixel, subpixel)
         jnp.zeros(n, jnp.int32),
-        zero3,
         zero3,
         zero3,
         zero3,
@@ -388,7 +392,7 @@ def render_band_regen(
                 )
 
             st = jax.lax.while_loop(cond_wide, body, st)
-            (it, rays, active, j, slot, depth, ro, rd, L, beta, emis,
+            (it, rays, active, j, slot, depth, ro, rd, beta, emis,
              pdf_prev, acc) = st
             work = active | (j < num_samples)
             # Stable sort, working lanes first: survivors keep their
@@ -396,22 +400,22 @@ def render_band_regen(
             # tail rows.
             order2 = jnp.argsort(jnp.where(work, 0, 1), stable=True)
             cols = jnp.take(
-                pack_state(active, j, slot, depth, ro, rd, L, beta, emis,
+                pack_state(active, j, slot, depth, ro, rd, beta, emis,
                            pdf_prev, acc),
                 order2, axis=0,
             )
             tail_slots.append(_bc_i(cols[w2:, 0]))
-            tail_accs.append(cols[w2:, 17:20])
+            tail_accs.append(cols[w2:, 14:17])
             st = (it, rays) + unpack_state(cols[:w2], pdf_prev[:w2])
         out = jax.lax.while_loop(cond, body, st)
         rays = out[1]
         slot = jnp.concatenate([out[4]] + tail_slots)
-        acc = jnp.concatenate([out[12]] + tail_accs, axis=0)
+        acc = jnp.concatenate([out[11]] + tail_accs, axis=0)
         acc = jnp.take(acc, jnp.argsort(slot), axis=0)
         return acc.reshape(rows, w, 4, 3), rays
 
     out = jax.lax.while_loop(cond, body, st)
-    rays, slot, acc = out[1], out[4], out[12]
+    rays, slot, acc = out[1], out[4], out[11]
     if scene.use_bvh:
         # Lanes migrated under the per-iteration permutation; restore slot
         # order via argsort + gather (TPU sorts are ~60x faster than the
