@@ -5,16 +5,24 @@ Prints ONE JSON line.  The headline metric is the BASELINE.md target
 benchmark configs (cornell MIS, cubes, flying_unicorn mesh) so the mesh
 frontier is recorded every round, not just the best case.
 
-The reference publishes no numbers (BASELINE.md), so the CPU baseline is
-measured here: the same wavefront estimator compiled for the multithreaded
-host CPU (XLA CPU uses all cores), which stands in for the reference's
-``available_parallelism()`` Rust thread pool.  Baselines are cached in
-BASELINE_CPU.json; delete it (or set RT_BENCH_CPU=1) to remeasure.  If a
-baseline cannot be measured, ``vs_baseline`` is null — never fabricated.
+The reference publishes no numbers (BASELINE.md), so the CPU baselines are
+measured here.  ``vs_baseline`` (the headline ratio) uses the FAIR
+denominator: the native C++ reference-style tracer (native/cpu_tracer.cpp
+— same estimator, scalar f64 per-pixel recursion, per-ray BVH, one thread
+per core, standing in for the reference's own multithreaded Rust renderer;
+no Rust toolchain exists in this container).  ``vs_xla_cpu`` is the
+same-software secondary: our wavefront estimator compiled for the host CPU
+— it flatters by ~4x and is kept only for round-over-round comparability
+(it was the headline through round 3; see BENCHMARKS.md).  Baselines are
+cached in BASELINE_CPU.json; delete it (or set RT_BENCH_CPU=1) to
+remeasure.  If a baseline cannot be measured its ratio is null — never
+fabricated.
 
-Ray counting matches how the reference's loop would count: one camera ray
-per sample, plus per bounce one shadow ray per live non-specular lane and
-one continuation ray per lane passing Russian roulette.
+Ray counting is reference-equivalent in every engine: one camera ray per
+sample, plus per bounce one shadow ray per live non-specular lane (the
+reference traces every visibility ray unconditionally, src/scene.rs:218-229
+— lanes our tracer culls as provably self-occluded still count) and one
+continuation ray per lane passing Russian roulette.
 """
 
 from __future__ import annotations
@@ -250,6 +258,64 @@ def run_progressive_ws() -> dict | None:
         return None
 
 
+def run_mesh_serving_ws() -> dict | None:
+    """First-pixel latency of a DEFAULT (non-progressive) mesh render over
+    a real WebSocket connection — flying_unicorn 600x450 @16spp, exactly
+    what a stock reference client sends.
+
+    The reference delivers pixels continuously (src/server.rs:168-191);
+    our serving path streams mesh frames in >= DELIVERY_BANDS sub-bands
+    (renderer.plan_delivery), so the first chunk must arrive well before
+    the full frame (target <= 1.5 s warm).  Returns None on failure —
+    never fabricated.
+    """
+    import asyncio
+
+    from raytracer_tpu.models.loader import load_scene
+    from raytracer_tpu.server.app import Server
+
+    W, H, SPP = 600, 450, 16
+    try:
+        import websockets
+
+        scene = load_scene(os.path.join(HERE, "scenes", "flying_unicorn.toml"))
+        srv = Server({"flying_unicorn": scene})
+        r = srv.renderer_for("flying_unicorn", W, H)
+        rows, k, _ = r.plan_delivery(SPP)
+        r.render_band_sums(0, rows, k, 1, return_rays=True)  # warm the shape
+
+        async def go():
+            ws_server = await srv.serve(port=0, host="127.0.0.1")
+            port = ws_server.sockets[0].getsockname()[1]
+            t0 = time.time()
+            first = None
+            px = 0
+            async with websockets.connect(
+                f"ws://127.0.0.1:{port}", max_size=1 << 22
+            ) as ws:
+                await ws.send(json.dumps(
+                    {"type": "render", "scene": "flying_unicorn", "spp": SPP}
+                ))
+                while px < W * H:
+                    raw = await asyncio.wait_for(ws.recv(), 600)
+                    if not isinstance(raw, (bytes, bytearray)):
+                        continue
+                    if first is None:
+                        first = time.time() - t0
+                    px += raw[1]  # wire header: [1] = num pixels
+            ws_server.close()
+            return first, time.time() - t0
+
+        first, total = asyncio.run(go())
+        return {
+            "width": W, "height": H, "spp": SPP,
+            "first_chunk_s": round(first, 3),
+            "total_s": round(total, 2),
+        }
+    except Exception:
+        return None
+
+
 def main() -> None:
     sys.path.insert(0, HERE)
     from raytracer_tpu.utils.platform import enable_compilation_cache
@@ -260,19 +326,22 @@ def main() -> None:
     for key, scene, spp, mis in CONFIGS:
         results[key] = run_config(scene, spp, mis)
     results["progressive_1080p"] = run_progressive_ws()
+    results["unicorn_16_serving"] = run_mesh_serving_ws()
 
     headline = results["cornell_256_nee"]
-    cpu = cpu_baseline("cornell_box")  # same-estimator XLA-CPU (historic)
-    vs = round(headline["mrays_per_s"] / cpu["mrays_per_s"], 2) if cpu else None
-    # Fair cross-implementation denominators: the C++ reference-style
-    # tracer (same estimator, scalar f64 per-ray recursion + BVH, one
-    # thread per core — the reference IS multithreaded native CPU code).
+    # Fair cross-implementation denominator — THE headline ratio: the C++
+    # reference-style tracer (same estimator, scalar f64 per-ray recursion +
+    # BVH, one thread per core — the reference IS multithreaded native CPU
+    # code).  The same-software XLA-CPU ratio is a clearly-labeled secondary
+    # (it flatters by ~4x; it led the artifact through round 3).
     cpu_nat = cpu_baseline("cornell_box", impl="native")
     cpu_mesh_nat = cpu_baseline("flying_unicorn", impl="native")
+    cpu = cpu_baseline("cornell_box")  # same-estimator XLA-CPU (historic)
     vs_nat = (
         round(headline["mrays_per_s"] / cpu_nat["mrays_per_s"], 1)
         if cpu_nat else None
     )
+    vs_xla = round(headline["mrays_per_s"] / cpu["mrays_per_s"], 2) if cpu else None
     if cpu_mesh_nat:
         results["flying_unicorn_16"]["vs_native_cpu"] = round(
             results["flying_unicorn_16"]["mrays_per_s"]
@@ -285,18 +354,23 @@ def main() -> None:
                 "metric": "Mrays/s/chip, cornell_box 600x450@256spp (NEE path)",
                 "value": headline["mrays_per_s"],
                 "unit": "Mrays/s",
-                "vs_baseline": vs,
-                "vs_native_cpu": vs_nat,
+                # vs_baseline = the HONEST ratio: vs the native C++
+                # reference-style multithreaded CPU tracer (the fair 1x).
+                "vs_baseline": vs_nat,
+                "baseline_impl": "native-cpp reference-style tracer",
+                # Same-software secondary (our estimator on XLA CPU): ~4x
+                # softer denominator; was `vs_baseline` through round 3.
+                "vs_xla_cpu_same_software": vs_xla,
                 "wall_clock_to_256spp_s": headline["wall_s"],
                 "rays_traced": headline["rays"],
-                "cpu_baseline_mrays_per_s": (
-                    round(cpu["mrays_per_s"], 3) if cpu else None
-                ),
                 "cpu_native_mrays_per_s": (
                     round(cpu_nat["mrays_per_s"], 3) if cpu_nat else None
                 ),
                 "cpu_native_mesh_mrays_per_s": (
                     round(cpu_mesh_nat["mrays_per_s"], 4) if cpu_mesh_nat else None
+                ),
+                "cpu_xla_mrays_per_s": (
+                    round(cpu["mrays_per_s"], 3) if cpu else None
                 ),
                 "configs": results,
             }

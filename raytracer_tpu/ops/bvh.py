@@ -598,54 +598,12 @@ def _coherence_key(scene, ro: Array, rd: Array, eps: Epsilons) -> Array:
     )
 
 
-def _entry_bucket(scene, ro: Array, rd: Array, eps: Epsilons) -> Array:
-    """Bucket id [N] i32: which treetop-cut subtree the ray enters first
-    (0..C-1), or C for root-missing rays.
-
-    Decoded from ``_coherence_key``'s bit layout (miss<<30 | entry<<17 |
-    ...) rather than re-running the slab pass, so the bucket path shares
-    the Pallas key kernel on TPU."""
-    key = _coherence_key(scene, ro, rd, eps)
-    entry = (key >> 17) & 0x1FFF
-    return jnp.where(key >> 30 != 0, scene.bvh_cut_lo.shape[0], entry)
-
-
-def _bucket_order(scene, ro: Array, rd: Array, eps: Epsilons):
-    """STABLE counting-sort permutation by entry bucket — the cheap
-    alternative to ``_coherence_order``'s full argsort.
-
-    Packets only need GROUPING at ~1024-lane granularity, not a total
-    order; a stable counting sort by the (C+1)-bucket entry key delivers
-    that at a fraction of the 1M-lane bitonic argsort's cost, and its
-    stability means within-bucket order is inherited from the previous
-    iteration's permutation (which the full key had sorted by octant +
-    origin-Morton), so secondary coherence decays only gradually.
-
-    rank-within-bucket = per-bucket running count via one batched cumsum
-    over a [C+1, N] one-hot; position = bucket start + rank.
-    """
-    b = _entry_bucket(scene, ro, rd, eps)  # [N] in [0, C]
-    k = scene.bvh_cut_lo.shape[0] + 1
-    eq = (b[None, :] == jnp.arange(k, dtype=jnp.int32)[:, None]).astype(jnp.int32)
-    rank = jnp.cumsum(eq, axis=1) - 1  # [K,N] running count per bucket
-    counts = rank[:, -1] + 1
-    start = jnp.cumsum(counts) - counts  # exclusive prefix
-    lane_rank = jnp.sum(rank * eq, axis=0)  # rank[b[i], i]
-    pos = start[b] + lane_rank
-    # order[pos[i]] = i: invert by argsort — a 1M-element argsort is ~0.2ms
-    # on v5e while the equivalent scatter is ~14ms (measured; scatters
-    # serialize, sorts are the fast primitive on TPU).
-    order = jnp.argsort(pos).astype(jnp.int32)
-    inverse = pos.astype(jnp.int32)
-    return order, inverse
-
-
 def _coherence_order(scene, ro: Array, rd: Array, eps: Epsilons):
-    """(order, inverse-order) permutations from ``_coherence_key``."""
-    import os
+    """(order, inverse-order) permutations from ``_coherence_key``.
 
-    if os.environ.get("RT_BUCKET_SORT", "0") == "1":
-        return _bucket_order(scene, ro, rd, eps)
+    (A stable counting-sort alternative keyed on the cut-entry bucket —
+    ``RT_BUCKET_SORT`` / ``_bucket_order`` — lost its re-measurement twice
+    and lives in git history only; see BENCHMARKS.md round-3 dead ends.)"""
     order = jnp.argsort(_coherence_key(scene, ro, rd, eps))
     # inverse[order[i]] = i via a SECOND argsort: a 1M-element argsort is
     # ~0.2ms on v5e while the equivalent unique-index scatter is ~14ms

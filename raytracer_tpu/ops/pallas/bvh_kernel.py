@@ -647,8 +647,6 @@ def bvh_intersect_pallas(
         if compact:
             key = _coherence_key(scene, ro3, rd3, eps)
             key = key | ((resolved0 >= 0.5).astype(jnp.int32) << 30)
-            # (Bypasses RT_BUCKET_SORT's counting sort — that measurement
-            # hook only reroutes the main-trace order.)
             order = jnp.argsort(key)
             g_half = (g + 1) // 2
             n_half = g_half * PACKET  # < n whenever g >= 2

@@ -10,9 +10,14 @@ disjoint row band of the frame via ``shard_map``:
 - pixels are **sharded**: each device derives its own band origin from
   ``lax.axis_index`` — no cross-device communication in the hot loop at
   all, which is the ideal ICI story (zero collectives, perfect scaling);
-- RNG keys fold in the device index, so the sharded render is
-  deterministic and, per-device, identical to a single-chip render of
-  that band.
+- RNG keys fold in the device index: device d renders its band with
+  ``fold_in(band_key, d)``.  The sharded render is deterministic, and each
+  device's output is EXACTLY equal (bit-for-bit) to executing the same
+  band function single-device with that folded key
+  (tests/test_sharding.py::test_sharded_band_exact_equivalence).  Note
+  this is a *different RNG stream* than the plain single-device
+  ``Renderer`` schedule would use for those rows (which folds no device
+  index), so whole-frame outputs agree statistically, not bitwise.
 
 A ``psum`` over the per-device ray counters is the one collective, used
 only for Mrays/s accounting.
@@ -125,6 +130,11 @@ class ShardedRenderer(rnd.Renderer):
         n_bands = max(1, -(-cfg.height // (target * self.n_dev)))
         rows_per_dev = -(-cfg.height // (n_bands * self.n_dev))
         return rows_per_dev * self.n_dev
+
+    def _delivery_rows(self, target: int) -> int:
+        # Sharded bands need not divide the frame height (render_image clips
+        # the overshoot) but must stay a device-count multiple.
+        return self.n_dev * max(1, target // self.n_dev)
 
     def render_band_sums(
         self, y0: int, rows: int, k: int, n_passes: int, salt: int = 0,

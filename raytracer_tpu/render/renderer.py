@@ -246,6 +246,32 @@ class Renderer:
         target = max(1, (budget or cfg.rays_per_pass) // lanes_per_row)
         return _divisor_band(cfg.height, target)
 
+    # Minimum incremental deliveries per frame on the SERVING path: the
+    # reference streams every 60-pixel window the moment it's rendered
+    # (src/server.rs:168-191), so a client must never stare at a blank
+    # canvas until the whole frame lands at once.
+    DELIVERY_BANDS = 4
+
+    def plan_delivery(self, spp: int) -> tuple[int, int, int]:
+        """(band_rows, k, n_passes) for SERVING non-progressive renders.
+
+        Same as ``plan`` except mesh (BVH) scenes cap the band height so the
+        frame streams in >= DELIVERY_BANDS pieces: the batch plan's
+        whole-frame band is ~6% faster end-to-end (BENCHMARKS.md round-3
+        band sweep) but delivers zero pixels until the very end, which the
+        reference's continuously-streaming clients never experience.  Batch
+        callers (bench, tools) keep ``plan``'s whole-frame band.
+        """
+        rows, k, n_passes = self.plan(spp)
+        if self.scene.use_bvh and n_passes > 0 and rows > 1:
+            target = max(1, -(-self.cfg.height // self.DELIVERY_BANDS))
+            if target < rows:
+                rows = self._delivery_rows(target)
+        return rows, k, n_passes
+
+    def _delivery_rows(self, target: int) -> int:
+        return _divisor_band(self.cfg.height, target)
+
     def plan_progressive(self, spp: int) -> tuple[int, int, int]:
         """(band_rows, k, n_chunks) for progressive refinement: chunks are
         sized so a full render always delivers several refinements."""

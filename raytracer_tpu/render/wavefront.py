@@ -101,9 +101,13 @@ def render_band_regen(
     # XLA drop the carry entirely).  There is NO per-path radiance column:
     # every bounce contribution banks straight into the lane accumulator
     # ``acc`` (paths always complete — miss, RR, dead BSDF, or depth cap —
-    # so the sum is the same terms in the same order; dropping the carried
-    # L trims 3 columns off the per-iteration permutation gather, whose
-    # cost is ~(fixed + per-column)).  Int state travels BITCAST into the f32
+    # so the sum is the same terms; only the f32 summation grouping changed
+    # vs the carried-L form.  One edge case differs: a path still in flight
+    # when it == hard_cap now keeps its partial contributions in acc where
+    # the carried-L form discarded them — both are truncation bias, and the
+    # cap is unreachable in practice since RR terminates far earlier).
+    # Dropping the carried L trims 3 columns off the per-iteration
+    # permutation gather, whose cost is ~(fixed + per-column).  Int state travels BITCAST into the f32
     # columns (concat/gather/slice are pure data moves — bit-exact at any
     # magnitude): active in meta's sign bit, depth in bits 24..30, j below
     # (j < 2^24 == 64M samples/subpixel, enforced by renderer.plan()).
@@ -252,6 +256,15 @@ def render_band_regen(
         r2 = jnp.maximum(dist * dist, 1e-20)
         cos_y = vm.dot(ny, -wi_d)
         nee_lanes = valid & ~is_spec
+        # Ray accounting counts every NEE lane — the reference traces every
+        # visibility ray unconditionally (src/scene.rs:218-229), so culled
+        # lanes (below) are still reference-equivalent rays: the cull is an
+        # optimization of OUR tracer, not a change in the estimator's ray
+        # demand.  This matches the lockstep engine and the native C++
+        # baseline's counters, keeping Mrays/s comparable across engines
+        # and rounds (round 3 briefly counted post-cull rays; re-grounded
+        # in round 4 — see BENCHMARKS.md).
+        rays = rays + jnp.sum(nee_lanes.astype(jnp.int32))
         # Back-face shadow cull (sphere lights, BVH scenes): a light sample
         # on the far hemisphere (cos_y <= 0) is self-occluded by the convex
         # light sphere, so the reference's visibility trace returns 0 for it
@@ -265,7 +278,6 @@ def render_band_regen(
         # bit-identical with the pre-cull code.
         cull = scene.use_bvh and scene.light_type == LIGHT_SPHERE
         shadow_lanes = nee_lanes & (cos_y > 0.0) if cull else nee_lanes
-        rays = rays + jnp.sum(shadow_lanes.astype(jnp.int32))
         sh3 = shadow_lanes[:, None]
         # Shadow query bounded at dist - margin: finding a hit below
         # that bound is EXACTLY the reference's invisibility test
@@ -275,19 +287,16 @@ def render_band_regen(
         # ~half the lanes are parked — unoccluded lanes can never resolve,
         # so the per-step all-reduce buys exits too rarely.  Kept off.)
         # Shadow rays sort by their OWN key: inheriting the main-ray order
-        # was re-measured for the wide stack kernel (RT_SHADOW_INHERIT=1)
-        # and is still much worse — 12.7 vs 8.8 s on flying_unicorn @16spp.
-        # Shadow directions fan toward the light, so main-order packets
+        # lost its re-measurement twice (round 2 skip-links, round 3 wide
+        # stack kernel: 12.7 vs 8.8 s on flying_unicorn @16spp — shadow
+        # directions fan toward the light, so main-order packets
         # union-descend the whole light frustum; the per-iteration argsort
-        # is cheap by comparison.
-        import os as _os
-
-        _shadow_inherit = _os.environ.get("RT_SHADOW_INHERIT", "0") == "1"
+        # is cheap by comparison).  The RT_SHADOW_INHERIT hook lives in git
+        # history only (BENCHMARKS.md round-3 dead ends).
         sh_t, sh_valid = trace_t(
             scene, pre,
             jnp.where(sh3, x, PARK_RO), jnp.where(sh3, wi_d, PARK_RD),
             eps, t_max=jnp.where(shadow_lanes, dist - eps.visibility_margin, 0.0),
-            presorted=scene.use_bvh and _shadow_inherit,
         )
         vis = (~sh_valid) | (sh_t + eps.visibility_margin >= dist)
         if cull:

@@ -190,8 +190,11 @@ class RenderJob:
                     await stream_rows(y0, rows, rgb)
         else:
             # Reference-style delivery: each pixel streamed exactly once,
-            # spatially as its band completes all samples.
-            rows_b, k, n_passes = renderer.plan(spp)
+            # spatially as its band completes all samples.  Mesh scenes use
+            # the delivery plan (>= DELIVERY_BANDS pieces instead of one
+            # whole-frame band) so first pixels reach the client early —
+            # the reference streams continuously (src/server.rs:168-191).
+            rows_b, k, n_passes = renderer.plan_delivery(spp)
             g = 1 if renderer.scene.use_bvh else self.PASSES_PER_DISPATCH
             for y0, rows in renderer.iter_bands(spp, rows_b):
                 if cancelled():
@@ -301,7 +304,10 @@ class Server:
                 t0 = _time.time()
                 try:
                     r = self.renderer_for(name, self.width, self.height)
-                    rows, _, _ = r.plan(64)  # regen shapes are spp-agnostic
+                    # The serving path's band shape (delivery plan: mesh
+                    # scenes stream in sub-bands); regen is spp-agnostic so
+                    # one compile per (scene, resolution) covers every spp.
+                    rows, _, _ = r.plan_delivery(64)
                     # return_rays=True keeps warm-up off the shared
                     # ray_counts list: a client render in flight on the same
                     # cached renderer must not see its accounting mutated.

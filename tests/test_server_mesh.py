@@ -103,6 +103,45 @@ def test_mesh_render_streams_full_frame(server_port):
     assert img.max() == 255  # the light is visible
 
 
+def test_mesh_delivery_plan_streams_incrementally():
+    """VERDICT r3 #4: a DEFAULT (non-progressive) mesh render must not
+    deliver zero pixels until the whole frame lands at once.  The batch
+    plan's whole-frame band is intentional for throughput (bench/tools);
+    the serving path uses plan_delivery, which must split a default
+    600x450 render into >= DELIVERY_BANDS pieces.  (The 1.5 s first-chunk
+    latency itself is hardware-dependent and measured on the TPU by
+    bench.py's serving config; this pins the structure that makes it
+    possible.)"""
+    from raytracer_tpu.render.renderer import Renderer
+
+    scene = chair_scene()
+    cfg = RenderConfig()  # default 600x450, default band budgets
+    r = Renderer(scene, cfg)
+    rows_batch, _, n_passes = r.plan(16)
+    rows_serve, k, n_serve = r.plan_delivery(16)
+    assert n_passes > 0
+    assert rows_batch == cfg.height, "batch plan should be the whole frame"
+    assert rows_serve * Renderer.DELIVERY_BANDS <= cfg.height + rows_serve
+    assert cfg.height // rows_serve >= Renderer.DELIVERY_BANDS
+    assert (k, n_serve) == (1, n_passes)
+    # Non-mesh plans already stream in many bands; delivery == batch there.
+    from raytracer_tpu.models.loader import load_scene
+
+    cornell = load_scene(os.path.join(SCENES, "cornell_box.toml"))
+    rc = Renderer(cornell, cfg)
+    assert rc.plan_delivery(64) == rc.plan(64)
+
+
+def test_sharded_mesh_delivery_rows_device_multiple():
+    from raytracer_tpu.parallel.mesh import ShardedRenderer, make_mesh
+
+    scene = chair_scene()
+    r = ShardedRenderer(scene, RenderConfig(), make_mesh())
+    rows, _, _ = r.plan_delivery(16)
+    assert rows % r.n_dev == 0
+    assert rows < r.cfg.height  # still incremental
+
+
 def test_mesh_stop_drains_quickly(server_port):
     """A stop mid-mesh-render must not stream most of the frame afterward."""
 

@@ -46,6 +46,43 @@ def test_sharded_matches_single_device_statistically(scene):
     assert abs(m1 - m8) / max(m1, 1.0) < 0.05
 
 
+def test_sharded_band_exact_equivalence(scene):
+    """The PRIMARY sharded-correctness guard: each device's band output is
+    bit-for-bit equal to executing the same band function single-device
+    with the device-folded key (the claim in parallel/mesh.py).  The 5%
+    statistical whole-frame check above only guards the estimator; this
+    pins the decomposition itself."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from raytracer_tpu.ops.intersect import scene_precompute
+    from raytracer_tpu.render.wavefront import render_band_regen
+
+    cfg = RenderConfig(width=64, height=48, rays_per_pass=1 << 14)
+    r = ShardedRenderer(scene, cfg, make_mesh())
+    rows, k, n_passes = r.plan(8)
+    rows_per_dev = rows // r.n_dev
+    sums, _rays = r.render_band_sums(0, rows, k, n_passes, return_rays=True)
+    sums = np.asarray(sums)
+
+    pre = scene_precompute(scene)
+    single = functools.partial(
+        jax.jit, static_argnames=("cfg", "rows")
+    )(render_band_regen)
+    key = r._band_key(0, 0)
+    for d in (0, 3, 7):
+        expected, _ = single(
+            scene, pre, cfg,
+            jnp.int32(d * rows_per_dev), rows_per_dev,
+            jnp.int32(k * n_passes), jax.random.fold_in(key, d),
+        )
+        np.testing.assert_array_equal(
+            sums[d * rows_per_dev : (d + 1) * rows_per_dev],
+            np.asarray(expected),
+        )
+
+
 def test_sharded_band_rows_cover_height(scene):
     cfg = RenderConfig(width=64, height=50, rays_per_pass=1 << 12)
     r = ShardedRenderer(scene, cfg, make_mesh())
