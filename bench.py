@@ -231,7 +231,10 @@ def run_progressive_ws() -> dict | None:
                     "type": "render", "scene": "cornell_box", "spp": SPP,
                     "width": W, "height": H, "progressive": True,
                 }))
-                while len(pass_times) < 2:
+                # Three sweeps: sweep 1 is the small-k fast-first-image
+                # sweep, sweep 2 repays its stolen samples, sweep 3 is the
+                # first steady-state refinement pass.
+                while len(pass_times) < 3:
                     raw = await asyncio.wait_for(ws.recv(), 600)
                     if not isinstance(raw, (bytes, bytearray)):
                         continue
@@ -249,8 +252,8 @@ def run_progressive_ws() -> dict | None:
         return {
             "width": W, "height": H, "target_spp": SPP,
             "first_chunk_s": round(first_chunk, 3),
-            "first_pass_s": round(pass_times[0], 2),
-            "s_per_refinement_pass": round(pass_times[1] - pass_times[0], 2),
+            "first_image_s": round(pass_times[0], 2),
+            "s_per_refinement_pass": round(pass_times[2] - pass_times[1], 2),
             "spp_per_pass": 4 * k_p,
             "passes_measured": len(pass_times),
         }

@@ -128,6 +128,7 @@ class ShardedRenderer(rnd.Renderer):
         lanes_per_row = cfg.width * 4 * (1 if cfg.engine == "regen" else k)
         target = max(1, (budget or cfg.rays_per_pass) // lanes_per_row)
         n_bands = max(1, -(-cfg.height // (target * self.n_dev)))
+        n_bands = min(n_bands, self.MAX_BANDS)  # large-frame dispatch cap
         rows_per_dev = -(-cfg.height // (n_bands * self.n_dev))
         return rows_per_dev * self.n_dev
 

@@ -148,6 +148,20 @@ def finalize_device(sums: Array, num_samples: int) -> Array:
     return jnp.clip(jnp.floor(v), 0, 255).astype(jnp.uint8)
 
 
+@jax.jit
+def finalize_device_dyn(sums: Array, num_samples: Array) -> Array:
+    """``finalize_device`` with a DYNAMIC sample count: the progressive
+    serving path finalizes after every chunk with a growing divisor, and a
+    static argument would recompile per chunk.  Device-side finalize also
+    shrinks the device->host pull 16x (u8 RGB vs f32 subpixel sums) — on a
+    tunneled TPU that transfer dominated the 1080p progressive pass gap
+    (BENCHMARKS.md round 4)."""
+    mean = sums / jnp.maximum(num_samples.astype(jnp.float32), 1.0)
+    pixel = jnp.clip(mean, 0.0, 1.0).sum(axis=-2) * 0.25
+    v = jnp.clip(pixel, 0.0, 1.0) ** (1.0 / 2.2) * 255.0 + 0.5
+    return jnp.clip(jnp.floor(v), 0, 255).astype(jnp.uint8)
+
+
 def finalize(sums: np.ndarray, num_samples: int) -> np.ndarray:
     """Per-subpixel sums [..., 4, 3] -> u8 RGB [..., 3].
 
@@ -238,12 +252,20 @@ class Renderer:
         n_passes = -(-num_samples // k)
         return self._band_rows(k), k, n_passes
 
+    # Per-frame dispatch cap: the fixed lane budget that's right for 600x450
+    # (9 bands) yields 72 dispatches per progressive pass at 1920x1080, and
+    # every dispatch pays a fixed host+tunnel cost (~100ms measured on the
+    # tunneled v5e).  Large frames therefore scale the band up to keep the
+    # dispatch count bounded instead of the band size fixed.
+    MAX_BANDS = 9
+
     def _band_rows(self, k: int, budget: int | None = None) -> int:
         cfg = self.cfg
         # The streaming engines use one lane per (pixel, subpixel) whatever
         # k is; the lockstep engine uses k lanes per subpixel.
         lanes_per_row = cfg.width * 4 * (1 if cfg.engine != "simple" else k)
         target = max(1, (budget or cfg.rays_per_pass) // lanes_per_row)
+        target = max(target, -(-cfg.height // self.MAX_BANDS))
         return _divisor_band(cfg.height, target)
 
     # Minimum incremental deliveries per frame on the SERVING path: the

@@ -34,6 +34,8 @@ changes.  `tests/test_wavefront.py` checks statistical agreement.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import Array
@@ -53,6 +55,36 @@ BIG = jnp.float32(1e30)
 # into miss-packets that exit after one root test.
 PARK_RO = jnp.float32(3.0e7)
 PARK_RD = jnp.array([1.0, 0.0, 0.0], jnp.float32)
+
+# Measurement hook (see ARCHITECTURE.md env inventory): RT_PERMUTE_STATE=0
+# keeps the lane state in slot order and lets the traversal wrapper sort
+# just the 8 ray columns around the kernel (sort+unsort per trace) instead
+# of permuting the whole packed state each iteration.  Round 2 measured the
+# persistent permutation faster when unsorts were scatter-based; unsorts
+# are lax.sorts now, so this re-measures the trade on current toolchains.
+_PERMUTE_STATE = os.environ.get("RT_PERMUTE_STATE", "1") == "1"
+
+# Reversed shadow segments (BVH scenes with a sphere light): trace the NEE
+# visibility segment LIGHT -> SURFACE instead of surface -> light.
+# Occlusion of an open segment is symmetric, and the reversal buys the
+# whole per-iteration shadow glue chain: reversed rays all start on the
+# light sphere and point at the main-trace hit positions, so lanes already
+# permuted by the MAIN ray's coherence key run ``presorted`` — NO key
+# kernel, NO argsort, NO [N,8] pack gather, NO unsort sorts.
+# MEASURED SLOWER (round 4): 5.78 s vs 3.84 s on flying_unicorn
+# 600x450@16spp.  The saved glue (~11 ms/iter) is dwarfed by the kernel
+# regression: a reversed segment's traversal starts at the light and
+# walks TOWARD the surface, so every unoccluded lane (most of them)
+# descends the full depth of the tree along its whole segment before the
+# t-bound prunes, where the forward form's t_init seeding (nearest
+# sphere/plane hit toward the light) kills most descents early; and
+# main-order packets, coherent for hit POSITIONS, fan out in direction
+# once re-rooted at the light.  Kept env-gated (RT_SHADOW_REVERSE=1) for
+# re-measurement; the light sphere is masked from the reversed query
+# (scene_shadow below) since a convex light cannot occlude a segment that
+# leaves its own surface, and endpoint epsilons swap sides — both inside
+# the reference's ERR_MARGIN blur band (src/scene.rs:258-270).
+_SHADOW_REVERSE = os.environ.get("RT_SHADOW_REVERSE", "0") == "1"
 
 
 def render_band_regen(
@@ -78,6 +110,20 @@ def render_band_regen(
     light_e = scene.obj_emitted[scene.light_idx]
     num_samples = jnp.asarray(num_samples, jnp.int32)
 
+    # Reversed-shadow scene view: the light sphere masked out (it can never
+    # legitimately occlude a reversed segment, but a reversed ray STARTS on
+    # its surface where f32 root noise could fake a t just above eps).
+    shadow_reverse = (
+        scene.use_bvh and scene.light_type == LIGHT_SPHERE and _SHADOW_REVERSE
+    )
+    scene_shadow = (
+        scene.replace(
+            sph_valid=scene.sph_valid & (scene.sph_obj != scene.light_idx)
+        )
+        if shadow_reverse
+        else scene
+    )
+
     # Safety cap; RR terminates the while-loop far earlier in practice.
     hard_cap = num_samples * (cfg.max_depth + 2) + 64
 
@@ -96,9 +142,11 @@ def render_band_regen(
 
     # Packed lane-state column layout (shared by the per-iteration coherence
     # permutation and the tail-compaction gather): slot(0), meta(1),
-    # ro(2:5), rd(5:8), beta(8:11), emis(11:14), acc(14:17),
-    # pdf_prev(17, MIS only — NEE never reads it, and leaving it out lets
-    # XLA drop the carry entirely).  There is NO per-path radiance column:
+    # ro(2:5), rd(5:8), then beta/emis — one bf16-pair column per component
+    # by default (8:11), or two f32 triples (8:14) under RT_STATE_BF16=0 —
+    # then acc(3), then pdf_prev(1, MIS only — NEE never reads it, and
+    # leaving it out lets XLA drop the carry entirely); the C_* offsets
+    # below are the single source of truth.  There is NO per-path radiance column:
     # every bounce contribution banks straight into the lane accumulator
     # ``acc`` (paths always complete — miss, RR, dead BSDF, or depth cap —
     # so the sum is the same terms; only the f32 summation grouping changed
@@ -116,27 +164,68 @@ def render_band_regen(
     _bc_f = lambda a: jax.lax.bitcast_convert_type(a, jnp.float32)
     _bc_i = lambda a: jax.lax.bitcast_convert_type(a, jnp.int32)
 
+    # beta/emis ride ONE bf16-pair column each instead of two f32 columns
+    # (round-to-nearest; 17 -> 14 columns, the gather cost is
+    # ~(fixed + per-column)).  Error budget: re-rounding an already-bf16
+    # value is exact, so each path-weight component absorbs <= 2^-9
+    # relative error once per BOUNCE (when beta/emis actually change), a
+    # ~0.2%/bounce jitter far under MC noise; the f32 accumulator ``acc``
+    # and the geometry columns are untouched.  RT_STATE_BF16=0 restores
+    # full-f32 state for A/B measurement and oracle work.
+    state_bf16 = os.environ.get("RT_STATE_BF16", "1") == "1"
+
+    def _pack2(hi, lo):
+        """Two f32 arrays -> one f32 array holding (bf16(hi) << 16) | bf16(lo)."""
+        h = _bc_u16(hi.astype(jnp.bfloat16)).astype(jnp.uint32)
+        l = _bc_u16(lo.astype(jnp.bfloat16)).astype(jnp.uint32)
+        return jax.lax.bitcast_convert_type((h << 16) | l, jnp.float32)
+
+    def _unpack2(col):
+        u = jax.lax.bitcast_convert_type(col, jnp.uint32)
+        hi = _bc_bf16((u >> 16).astype(jnp.uint16)).astype(jnp.float32)
+        lo = _bc_bf16((u & 0xFFFF).astype(jnp.uint16)).astype(jnp.float32)
+        return hi, lo
+
+    _bc_u16 = lambda a: jax.lax.bitcast_convert_type(a, jnp.uint16)
+    _bc_bf16 = lambda a: jax.lax.bitcast_convert_type(a, jnp.bfloat16)
+
+    # Column offsets: slot(0), meta(1), ro(2:5), rd(5:8), then either
+    # beta/emis as bf16 pairs (8:11) or as f32 triples (8:11, 11:14),
+    # then acc, then pdf_prev (MIS only — NEE never reads it, and leaving
+    # it out lets XLA drop the carry entirely).
+    C_BE = 8
+    C_ACC = C_BE + (3 if state_bf16 else 6)
+    C_PDF = C_ACC + 3
+
     def pack_state(active, j, slot, depth, ro, rd, beta, emis, pdf_prev,
                    acc):
         meta = _bc_f((active.astype(jnp.int32) << 31) | (depth << 24) | j)
-        parts = [_bc_f(slot)[:, None], meta[:, None], ro, rd, beta, emis,
-                 acc]
+        parts = [_bc_f(slot)[:, None], meta[:, None], ro, rd]
+        if state_bf16:
+            parts.append(_pack2(beta, emis))
+        else:
+            parts += [beta, emis]
+        parts.append(acc)
         if cfg.use_mis:
             parts.append(pdf_prev[:, None])
         return jnp.concatenate(parts, axis=1)
 
     def unpack_state(cols, pdf_prev_passthru):
-        """cols [M, 17(+1)] -> state tuple; acc occupies cols 14:17."""
+        """cols [M, C_PDF(+1)] -> state tuple (layout above)."""
         meta = _bc_i(cols[:, 1])
+        if state_bf16:
+            beta, emis = _unpack2(cols[:, C_BE:C_BE + 3])
+        else:
+            beta, emis = cols[:, C_BE:C_BE + 3], cols[:, C_BE + 3:C_BE + 6]
         return (
             meta < 0,
             meta & 0xFFFFFF,
             _bc_i(cols[:, 0]),
             (meta >> 24) & 0x7F,
             cols[:, 2:5], cols[:, 5:8],
-            cols[:, 8:11], cols[:, 11:14],
-            cols[:, 17] if cfg.use_mis else pdf_prev_passthru,
-            cols[:, 14:17],
+            beta, emis,
+            cols[:, C_PDF] if cfg.use_mis else pdf_prev_passthru,
+            cols[:, C_ACC:C_ACC + 3],
         )
 
     def cond(st):
@@ -185,7 +274,7 @@ def render_band_regen(
         a3 = active[:, None]
         ro = jnp.where(a3, ro, PARK_RO)
         rd = jnp.where(a3, rd, PARK_RD)
-        if scene.use_bvh:
+        if scene.use_bvh and _PERMUTE_STATE:
             # Permute the WHOLE lane state by the traversal-coherence key;
             # the main trace then runs presorted (no per-trace sort/unsort)
             # and the NEE shadow trace inherits the order (shadow origins
@@ -212,15 +301,23 @@ def render_band_regen(
 
         # ---- 2) main trace (camera + continuation rays together) ----
         rays = rays + jnp.sum(active.astype(jnp.int32))
-        us = jax.random.uniform(
-            jax.random.fold_in(key, 2 * it + 1), (n_draws, n)
-        )
+        if os.environ.get("RT_ABLATE") == "rng":  # timing probe only
+            us = jnp.broadcast_to(
+                jnp.linspace(0.1, 0.9, n_draws)[:, None], (n_draws, n)
+            )
+        else:
+            us = jax.random.uniform(
+                jax.random.fold_in(key, 2 * it + 1), (n_draws, n)
+            )
         # Unused third draws (sphere lights / non-Phong BSDFs) alias an
         # earlier lane — the consuming code statically ignores them.
         u_light3 = us[i_light + 2] if light_draws == 3 else us[i_light]
         u_bsdf3 = us[i_bsdf + 2] if bsdf_draws == 3 else us[i_bsdf]
 
-        hit = trace(scene, pre, ro, rd, eps, presorted=scene.use_bvh)
+        hit = trace(
+            scene, pre, ro, rd, eps,
+            presorted=scene.use_bvh and _PERMUTE_STATE,
+        )
         valid = active & hit.valid
 
         # ---- 3) arrival: collect emission through the bounce ----
@@ -293,12 +390,28 @@ def render_band_regen(
         # union-descend the whole light frustum; the per-iteration argsort
         # is cheap by comparison).  The RT_SHADOW_INHERIT hook lives in git
         # history only (BENCHMARKS.md round-3 dead ends).
-        sh_t, sh_valid = trace_t(
-            scene, pre,
-            jnp.where(sh3, x, PARK_RO), jnp.where(sh3, wi_d, PARK_RD),
-            eps, t_max=jnp.where(shadow_lanes, dist - eps.visibility_margin, 0.0),
-        )
-        vis = (~sh_valid) | (sh_t + eps.visibility_margin >= dist)
+        if os.environ.get("RT_ABLATE") == "shadow":  # timing probe only
+            vis = shadow_lanes
+        elif shadow_reverse:
+            # Light -> surface (see _SHADOW_REVERSE above).  presorted: the
+            # lane permutation's main-ray order is coherent for rays that
+            # all leave the light toward the sorted hit points.
+            sh_t, sh_valid = trace_t(
+                scene_shadow, pre,
+                jnp.where(sh3, y, PARK_RO), jnp.where(sh3, -wi_d, PARK_RD),
+                eps,
+                t_max=jnp.where(shadow_lanes, dist - eps.visibility_margin, 0.0),
+                presorted=True,
+            )
+            vis = (~sh_valid) | (sh_t + eps.visibility_margin >= dist)
+        else:
+            sh_t, sh_valid = trace_t(
+                scene, pre,
+                jnp.where(sh3, x, PARK_RO), jnp.where(sh3, wi_d, PARK_RD),
+                eps,
+                t_max=jnp.where(shadow_lanes, dist - eps.visibility_margin, 0.0),
+            )
+            vis = (~sh_valid) | (sh_t + eps.visibility_margin >= dist)
         if cull:
             vis = vis & (cos_y > 0.0)  # culled lanes were never traced
         f_d = brdf.eval_nonspecular(mat, nrm, o, wi_d, scene.has_phong)
@@ -414,7 +527,7 @@ def render_band_regen(
                 order2, axis=0,
             )
             tail_slots.append(_bc_i(cols[w2:, 0]))
-            tail_accs.append(cols[w2:, 14:17])
+            tail_accs.append(cols[w2:, C_ACC:C_ACC + 3])
             st = (it, rays) + unpack_state(cols[:w2], pdf_prev[:w2])
         out = jax.lax.while_loop(cond, body, st)
         rays = out[1]

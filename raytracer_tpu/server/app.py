@@ -38,10 +38,11 @@ import threading
 from collections import OrderedDict
 from dataclasses import dataclass, field, replace
 
+import jax.numpy as jnp
 import numpy as np
 
 from raytracer_tpu.config import DEFAULT_PORT, RenderConfig
-from raytracer_tpu.render.renderer import Renderer, finalize
+from raytracer_tpu.render.renderer import Renderer, finalize_device_dyn
 from raytracer_tpu.server import wire
 
 log = logging.getLogger("raytracer_tpu.server")
@@ -147,6 +148,13 @@ class RenderJob:
         ray_counts: list = []
         bands = 0
 
+        # Pixels per wire message: 60 at reference width (byte-identical
+        # traffic to src/server.rs:145); wider custom frames use the
+        # protocol's full u8 capacity (240 divides 1920) — at 1920x1080
+        # progressive, 60-px messages meant 34,560 sends per refinement
+        # pass and the per-send overhead (~0.1 ms) dominated the pass gap.
+        ppm = wire.PIXELS_PER_MSG if renderer.cfg.width <= 600 else 240
+
         async def stream_rows(y0: int, rows: int, rgb: np.ndarray) -> None:
             # rgb is render-space rows [y0, y0+rows); wire labels are
             # flipped: label = height-1-y_render (src/server.rs:181).
@@ -154,7 +162,7 @@ class RenderJob:
             # past the frame bottom are padding and must not be streamed.
             for i in range(min(rows, height - y0)):
                 y_label = height - 1 - (y0 + i)
-                for msg in wire.pack_row(y_label, rgb[i]):
+                for msg in wire.pack_row(y_label, rgb[i], ppm):
                     await self.send(msg)
 
         _, k, n_passes = renderer.plan(spp)
@@ -168,26 +176,62 @@ class RenderJob:
                 await stream_rows(y, 1, black[None])
         elif progressive:
             # Re-stream the whole frame after every k-sample chunk; the
-            # running per-band sums stay on device between chunks.
+            # running per-band sums stay on device between chunks, and
+            # finalize runs ON DEVICE so only u8 pixels cross the (possibly
+            # tunneled) device->host link — pulling the f32 subpixel sums
+            # instead (16x the bytes) dominated the 1080p pass gap.
+            #
+            # One-band-behind pipeline: JAX dispatch is async, so band k+1's
+            # compute is ENQUEUED before band k's finished pixels are pulled
+            # — the blocking pull + WS send of each band then overlaps the
+            # next band's device compute instead of leaving the chip idle.
             rows_p, k_p, n_chunks = renderer.plan_progressive(spp)
             sums = {y0: None for y0, _ in renderer.iter_bands(spp, rows_p)}
-            for chunk in range(n_chunks):
+            pending = None  # (y0, rows, device-side u8 rgb) not yet pulled
+
+            # Per-sweep sample schedule.  The compiled band shape takes
+            # num_samples as a DYNAMIC scalar, so sweeping the frame at a
+            # small k first costs no extra compile: the first full image
+            # lands in ~k0/k_p of a full sweep's time (the reference's
+            # progressive UX is pixels-now, quality-later), and the stolen
+            # samples are repaid in sweep 2 — steady-state pass time is
+            # unchanged and the total sample count is exact.
+            if n_chunks > 1 and k_p > 4:
+                sched = [4, k_p - 4] + [k_p] * (n_chunks - 1)
+            else:
+                sched = [k_p] * n_chunks
+
+            def dispatch(y0, chunk, kc, done):
+                out, nrays = renderer.render_band_sums(
+                    y0, rows_p, kc, 1, salt=chunk, return_rays=True
+                )
+                s = out if sums[y0] is None else sums[y0] + out
+                rgb = finalize_device_dyn(s, jnp.int32(done))
+                return s, nrays, rgb  # all device arrays — nothing synced
+
+            done = 0
+            for chunk, kc in enumerate(sched):
                 if cancelled():
                     break
+                done += kc
                 for y0, rows in renderer.iter_bands(spp, rows_p):
                     if cancelled():
                         break
-                    out, nrays = await loop.run_in_executor(
-                        None,
-                        lambda y0=y0, chunk=chunk: renderer.render_band_sums(
-                            y0, rows_p, k_p, 1, salt=chunk, return_rays=True
-                        ),
+                    s, nrays, rgb_dev = await loop.run_in_executor(
+                        None, dispatch, y0, chunk, kc, done
                     )
+                    sums[y0] = s
                     ray_counts.append(nrays)
                     bands += 1
-                    sums[y0] = out if sums[y0] is None else sums[y0] + out
-                    rgb = finalize(np.asarray(sums[y0]), (chunk + 1) * k_p)
-                    await stream_rows(y0, rows, rgb)
+                    if pending is not None:
+                        py0, prows, prgb = pending
+                        arr = await loop.run_in_executor(None, np.asarray, prgb)
+                        await stream_rows(py0, prows, arr)
+                    pending = (y0, rows, rgb_dev)
+            if pending is not None and not cancelled():
+                py0, prows, prgb = pending
+                arr = await loop.run_in_executor(None, np.asarray, prgb)
+                await stream_rows(py0, prows, arr)
         else:
             # Reference-style delivery: each pixel streamed exactly once,
             # spatially as its band completes all samples.  Mesh scenes use
@@ -214,7 +258,12 @@ class RenderJob:
                     bands += 1
                     sums = out if sums is None else sums + out
                 if sums is not None and not cancelled():
-                    rgb = finalize(np.asarray(sums), k * n_passes)
+                    rgb = await loop.run_in_executor(
+                        None,
+                        lambda sums=sums: np.asarray(
+                            finalize_device_dyn(sums, jnp.int32(k * n_passes))
+                        ),
+                    )
                     await stream_rows(y0, rows, rgb)
 
         # Finalize the per-render stats; syncing the device scalars here is
