@@ -680,6 +680,35 @@ def bvh_intersect_pallas(
                 t, idx = sliced(rays8)  # timing probe: image invalid if >half live
             else:
                 t, idx = jax.lax.cond(n_live <= n_half, sliced, full, rays8)
+        elif os.environ.get("RT_BVH_VSORT", "0") == "1":
+            # Variadic-sort pack: ONE stable 10-operand lax.sort (key, lane
+            # iota, 8 ray fields) replaces the [N,8] field stack (a
+            # cross-lane relayout), the key argsort, AND the row gather by
+            # `order` — the sorted fields then pack with the presorted
+            # path's contiguous reshapes.  The iota payload column IS the
+            # forward permutation the unsort below needs (ties resolve by
+            # lane order, exactly like the stable argsort it replaces).
+            # Round 3 measured a 24-operand variant of this SLOWER than the
+            # packed gather for the 20-column state permutation; at 8 ray
+            # columns the trade may flip — env-gated for measurement.
+            key = _coherence_key(scene, ro3, rd3, eps)
+            iota = jnp.arange(n, dtype=jnp.int32)
+            out = jax.lax.sort((key, iota, *fields), num_keys=1)
+            order = out[1]
+            sfields = list(out[2:])
+            pad = g * PACKET - n
+            if pad:
+                sfields = [
+                    jnp.concatenate(
+                        [f, jnp.full((pad,), 1.0 if k == 7 else 0.0, f.dtype)]
+                    )
+                    for k, f in enumerate(sfields)
+                ]
+            rays = jnp.stack(
+                [f.reshape(g, 8, 128) for f in sfields], axis=1
+            )
+            t, idx = run(rays)
+            t, idx = t.reshape(-1)[:n], idx.reshape(-1)[:n]
         else:
             order, _ = _coherence_order(scene, ro3, rd3, eps)
             rays8 = jnp.take(rays8, order, axis=0)
