@@ -230,6 +230,10 @@ def run_progressive_ws() -> dict | None:
                 await ws.send(json.dumps({
                     "type": "render", "scene": "cornell_box", "spp": SPP,
                     "width": W, "height": H, "progressive": True,
+                    # Batched transport (one message per band of standard
+                    # chunk units): at this scale the stock one-send-per-240px
+                    # framing costs ~1s/pass of per-send overhead.
+                    "batch": True,
                 }))
                 # Three sweeps: sweep 1 is the small-k fast-first-image
                 # sweep, sweep 2 repays its stolen samples, sweep 3 is the
@@ -240,7 +244,13 @@ def run_progressive_ws() -> dict | None:
                         continue
                     if first_chunk is None:
                         first_chunk = time.time() - t0
-                    px += raw[1]  # wire header: [1] = num pixels
+                    # Batched messages concatenate standard chunks; sum
+                    # every chunk's n (a plain message is a 1-concatenation).
+                    off = 0
+                    while off + 6 <= len(raw):
+                        n = raw[off + 1]
+                        px += n
+                        off += 6 + 3 * n
                     if px >= frame_px:
                         px -= frame_px
                         pass_times.append(time.time() - t0)

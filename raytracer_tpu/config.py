@@ -87,8 +87,12 @@ class RenderConfig:
     # pack glue (which is N-proportional regardless of lane activity).
     # Each stage costs one extra while-loop compile per band shape;
     # tiny bands skip stages automatically (min width 1024 lanes).
+    # Three stages (N/2, N/4, N/8): round 3 measured stage 2 worth 0.54 s
+    # on flying_unicorn @16spp (BENCHMARKS.md); the geometric RR tail past
+    # depth 5 keeps ~10% of lanes alive long enough that an N/8 stage
+    # still amortizes its one extra state gather.
     tail_compact: bool = True
-    tail_compact_stages: int = 2
+    tail_compact_stages: int = 3
 
     # Integrator scheduling: "regen" = regenerating wavefront (dead lanes
     # immediately claim fresh camera samples, ~2x occupancy; production

@@ -314,6 +314,10 @@ def _traverse8_kernel(
                 # - padded slots are all-zero (degenerate -> denom 0), so
                 #   no j<count mask is needed;
                 # - u<=1 is implied by v>=0 & u+v<=1.
+                # (A Newton-refined pl.reciprocal(approx=True) in place of
+                # this divide measured SLIGHTLY SLOWER on kbench (31.4 vs
+                # 30.1 ms/1M coherent) — the Mosaic divide is already fast
+                # and the leaf is not divide-bound.  Round-4 probe.)
                 t = (n_d - n_ro) / denom
                 u = (
                     (q1x * ro[0] + q1y * ro[1] + q1z * ro[2])

@@ -113,6 +113,7 @@ class RenderJob:
         spp: int,
         progressive: bool = False,
         want_stats: bool = False,
+        batch: bool = False,
     ) -> bool:
         """Render + stream; returns True if stopped before completion.
 
@@ -160,7 +161,22 @@ class RenderJob:
             # flipped: label = height-1-y_render (src/server.rs:181).
             # Sharded bands round rows up to a device-count multiple; rows
             # past the frame bottom are padding and must not be streamed.
-            for i in range(min(rows, height - y0)):
+            valid = min(rows, height - y0)
+            if batch:
+                # Opt-in batched transport (render request "batch": true):
+                # the band's standard chunks concatenated into ONE WebSocket
+                # message.  Chunk units stay byte-identical to the stock
+                # protocol; only the framing coarsens.  At 1920x1080
+                # progressive the stock path is 8,640 awaited sends per
+                # refinement pass (~0.1 ms each of per-send overhead) —
+                # batching collapses that to one send per band.
+                await self.send(
+                    wire.pack_rows_batched(
+                        height - 1 - y0, rgb[:valid], ppm
+                    )
+                )
+                return
+            for i in range(valid):
                 y_label = height - 1 - (y0 + i)
                 for msg in wire.pack_row(y_label, rgb[i], ppm):
                     await self.send(msg)
@@ -428,12 +444,13 @@ class Server:
                         break
                     progressive = bool(msg.get("progressive", False))
                     want_stats = bool(msg.get("stats", False))
+                    batch = bool(msg.get("batch", False))
                     renderer = self.renderer_for(scene, w, h)
 
                     async def run_render() -> None:
                         log.info("[%s] Rendering...", cid)
                         stopped = await job.run(
-                            renderer, spp, progressive, want_stats
+                            renderer, spp, progressive, want_stats, batch
                         )
                         if not stopped:
                             log.info(

@@ -59,3 +59,40 @@ def parse_chunk(msg: bytes) -> tuple[int, int, int, np.ndarray]:
     msg_type, n, x, y = _HEADER.unpack_from(msg, 0)
     rgb = np.frombuffer(msg, np.uint8, count=3 * n, offset=_HEADER.size).reshape(n, 3)
     return msg_type, x, y, rgb
+
+
+def parse_chunks(buf: bytes):
+    """Iterate every RenderedPixels chunk in a (possibly batched) buffer.
+
+    The opt-in batched transport (render request field ``"batch": true``)
+    concatenates standard 6-byte-header chunks into one WebSocket message;
+    each chunk unit stays byte-identical to the stock protocol, so this
+    parser also accepts plain single-chunk messages (the concatenation of
+    one).  Yields (msg_type, x, y, rgb[n,3]) per chunk.
+    """
+    off = 0
+    end = len(buf)
+    while off + _HEADER.size <= end:
+        msg_type, n, x, y = _HEADER.unpack_from(buf, off)
+        off += _HEADER.size
+        rgb = np.frombuffer(buf, np.uint8, count=3 * n, offset=off).reshape(n, 3)
+        off += 3 * n
+        yield msg_type, x, y, rgb
+
+
+def pack_rows_batched(
+    y_top_label: int, rgb: np.ndarray, pixels_per_msg: int = PIXELS_PER_MSG
+) -> bytes:
+    """Concatenate the standard chunks of SEVERAL rows into ONE buffer.
+
+    ``rgb`` is [rows, W, 3] in RENDER-space row order; row i carries wire
+    label ``y_top_label - i`` (labels flip render rows: label =
+    height-1-y_render, so a render-space band maps to descending labels).
+    Kept trivial on purpose: every chunk unit is produced by the same
+    pack_row() as the stock path, so batched and unbatched transports
+    carry byte-identical chunk units.
+    """
+    parts: list[bytes] = []
+    for i in range(rgb.shape[0]):
+        parts.extend(pack_row(y_top_label - i, rgb[i], pixels_per_msg))
+    return b"".join(parts)

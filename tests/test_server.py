@@ -364,3 +364,36 @@ def test_renderer_cache_is_bounded():
     assert len(srv._renderers) == MAX_RENDERERS
     # most-recently-used entries survive
     assert ("cornell_box", 16 + MAX_RENDERERS + 3, 16) in srv._renderers
+
+
+def test_batched_render_streams_full_frame(server_port):
+    """Opt-in "batch": true — each message is a band's standard chunks
+    concatenated; the full frame still arrives exactly once with correct
+    labels (chunk units stay byte-identical to the stock framing)."""
+    import websockets
+    from raytracer_tpu.server.wire import parse_chunks
+
+    async def go():
+        got = np.full((H, W, 3), -1, np.int32)
+        n_pixels = 0
+        async with websockets.connect(f"ws://127.0.0.1:{server_port}") as ws:
+            await ws.send(json.dumps({
+                "type": "render", "scene": "cornell_box", "spp": 8,
+                "batch": True,
+            }))
+            while n_pixels < W * H:
+                raw = await asyncio.wait_for(ws.recv(), 300)
+                assert isinstance(raw, (bytes, bytearray))
+                chunks = list(parse_chunks(raw))
+                assert len(chunks) > 1  # actually batched
+                for t, x, y, rgb in chunks:
+                    assert t == 0
+                    n = rgb.shape[0]
+                    assert n <= 60 and x + n <= W and 0 <= y < H
+                    got[y, x : x + n] = rgb
+                    n_pixels += n
+        return got
+
+    img = asyncio.run(go())
+    assert (img >= 0).all()
+    assert img[:10].mean() > img[-10:].mean()

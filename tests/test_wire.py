@@ -54,3 +54,36 @@ def test_native_and_python_packers_agree():
         wire.pack_chunk(x, 9, rgb[x : x + 60]) for x in range(0, 601, 60)
     ]
     assert msgs_native == msgs_py
+
+
+def test_batched_rows_roundtrip():
+    """Batched transport: one buffer of concatenated STANDARD chunks.
+
+    Each chunk unit must be byte-identical to the stock pack_row output
+    (the batch extension coarsens framing only, never the chunk format).
+    """
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(0, 256, (3, 130, 3), np.uint8)  # 3 rows, W=130
+    buf = wire.pack_rows_batched(41, rgb)
+    stock = b"".join(
+        m for i in range(3) for m in wire.pack_row(41 - i, rgb[i])
+    )
+    assert buf == stock
+    # parse_chunks recovers every pixel with its row label
+    out = {}
+    for t, x, y, px in wire.parse_chunks(buf):
+        assert t == 0
+        out.setdefault(y, np.zeros((130, 3), np.uint8))[x : x + px.shape[0]] = px
+    assert set(out) == {41, 40, 39}
+    for i, y in enumerate((41, 40, 39)):
+        np.testing.assert_array_equal(out[y], rgb[i])
+
+
+def test_parse_chunks_accepts_single_stock_message():
+    rgb = np.arange(60 * 3, dtype=np.uint8).reshape(60, 3)
+    msg = wire.pack_chunk(7, 9, rgb)
+    chunks = list(wire.parse_chunks(msg))
+    assert len(chunks) == 1
+    t, x, y, px = chunks[0]
+    assert (t, x, y) == (0, 7, 9)
+    np.testing.assert_array_equal(px, rgb)
