@@ -244,13 +244,14 @@ def run_progressive_ws() -> dict | None:
                         continue
                     if first_chunk is None:
                         first_chunk = time.time() - t0
-                    # Batched messages concatenate standard chunks; sum
-                    # every chunk's n (a plain message is a 1-concatenation).
-                    off = 0
-                    while off + 6 <= len(raw):
-                        n = raw[off + 1]
-                        px += n
-                        off += 6 + 3 * n
+                    # Batched messages concatenate standard chunks (a plain
+                    # message is a 1-concatenation); the framing logic lives
+                    # in ONE parser, wire.parse_chunks, which also validates
+                    # that each chunk's pixel payload is complete.
+                    from raytracer_tpu.server import wire
+
+                    for _mt, _x, _y, rgb in wire.parse_chunks(raw):
+                        px += rgb.shape[0]
                     if px >= frame_px:
                         px -= frame_px
                         pass_times.append(time.time() - t0)
@@ -315,7 +316,10 @@ def run_mesh_serving_ws() -> dict | None:
                         continue
                     if first is None:
                         first = time.time() - t0
-                    px += raw[1]  # wire header: [1] = num pixels
+                    from raytracer_tpu.server import wire
+
+                    for _mt, _x, _y, rgb in wire.parse_chunks(raw):
+                        px += rgb.shape[0]
             ws_server.close()
             return first, time.time() - t0
 

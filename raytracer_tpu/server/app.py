@@ -90,6 +90,12 @@ class RenderJob:
     def __post_init__(self) -> None:
         self.cancel_token.cancel()
         self.stats = None  # RenderStats of the most recent run()
+        # Strong reference to the detached render task: the event loop keeps
+        # only a WEAK reference to tasks (asyncio docs), so a long render
+        # spawned with create_task() and then dropped could be
+        # garbage-collected mid-flight.  handle_connection stores the task
+        # here and a done-callback clears it.
+        self.task: asyncio.Task | None = None
 
     def running(self) -> bool:
         return not self.cancel_token.is_cancelled()
@@ -164,17 +170,26 @@ class RenderJob:
             valid = min(rows, height - y0)
             if batch:
                 # Opt-in batched transport (render request "batch": true):
-                # the band's standard chunks concatenated into ONE WebSocket
-                # message.  Chunk units stay byte-identical to the stock
-                # protocol; only the framing coarsens.  At 1920x1080
+                # the band's standard chunks concatenated into FEW WebSocket
+                # messages.  Chunk units stay byte-identical to the stock
+                # protocol; only the framing coarsens (including cancellation
+                # granularity: stop_rendering is observed between batched
+                # sends instead of between per-chunk sends).  At 1920x1080
                 # progressive the stock path is 8,640 awaited sends per
                 # refinement pass (~0.1 ms each of per-send overhead) —
-                # batching collapses that to one send per band.
-                await self.send(
-                    wire.pack_rows_batched(
-                        height - 1 - y0, rgb[:valid], ppm
+                # batching collapses that to a handful per band.  Each
+                # message is capped below ~1 MiB so clients with
+                # python-websockets' default max_size (2^20) survive a
+                # MAX_DIM-sized band.
+                bytes_per_row = 3 * rgb.shape[1] + 6 * (-(-rgb.shape[1] // ppm))
+                rows_per_msg = max(1, (1 << 19) // bytes_per_row)
+                for i0 in range(0, valid, rows_per_msg):
+                    i1 = min(i0 + rows_per_msg, valid)
+                    await self.send(
+                        wire.pack_rows_batched(
+                            height - 1 - (y0 + i0), rgb[i0:i1], ppm
+                        )
                     )
-                )
                 return
             for i in range(valid):
                 y_label = height - 1 - (y0 + i)
@@ -460,7 +475,13 @@ class Server:
                             )
 
                     job.mark_running()
-                    asyncio.get_running_loop().create_task(run_render())
+                    # Hold a strong reference (the loop's is weak — see
+                    # RenderJob.task); cleared when the render finishes.
+                    task = asyncio.get_running_loop().create_task(run_render())
+                    job.task = task
+                    task.add_done_callback(
+                        lambda t, job=job: setattr(job, "task", None)
+                    )
                 elif job.running() and mtype == "stop_rendering":
                     job.stop()
                     log.info("[%s] Render cancelled.", cid)

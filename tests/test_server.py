@@ -397,3 +397,75 @@ def test_batched_render_streams_full_frame(server_port):
     img = asyncio.run(go())
     assert (img >= 0).all()
     assert img[:10].mean() > img[-10:].mean()
+
+
+def test_render_survives_gc_midstream(server_port):
+    """The detached render task must survive a full garbage collection.
+
+    asyncio event loops keep only WEAK references to tasks; the server holds
+    a strong reference on the RenderJob (job.task) so a long render can't be
+    collected mid-flight.  Regression test: force gc.collect() repeatedly
+    while the frame streams and require completion."""
+    import gc
+
+    import websockets
+    from raytracer_tpu.server.wire import parse_chunks
+
+    async def go():
+        n_pixels = 0
+        async with websockets.connect(f"ws://127.0.0.1:{server_port}") as ws:
+            await ws.send(json.dumps(
+                {"type": "render", "scene": "cornell_box", "spp": 8}
+            ))
+            while n_pixels < W * H:
+                raw = await asyncio.wait_for(ws.recv(), 300)
+                if not isinstance(raw, (bytes, bytearray)):
+                    continue
+                for _t, _x, _y, rgb in parse_chunks(raw):
+                    n_pixels += rgb.shape[0]
+                gc.collect()  # would reap an unreferenced task
+        return n_pixels
+
+    assert asyncio.run(go()) == W * H
+
+
+def test_batched_messages_capped_below_max_size():
+    """Batched sends must stay under ~1 MiB (python-websockets' default
+    client max_size) even at MAX_DIM frames — the band is split into
+    multiple messages (ADVICE r4: one 4096-wide band could reach ~13 MB)."""
+    from raytracer_tpu.server.app import RenderJob
+
+    sent: list[bytes] = []
+
+    async def fake_send(msg: bytes) -> None:
+        sent.append(bytes(msg))
+
+    job = RenderJob(send=fake_send)
+
+    # Drive the batch branch of stream_rows directly with a MAX_DIM-wide
+    # synthetic band: reconstruct the inner closure's behavior through run()
+    # would need a renderer, so exercise the splitting arithmetic the same
+    # way the server does.
+    width, rows, ppm = 4096, 512, 240
+    rgb = np.zeros((rows, width, 3), np.uint8)
+
+    async def stream():
+        bytes_per_row = 3 * width + 6 * (-(-width // ppm))
+        rows_per_msg = max(1, (1 << 19) // bytes_per_row)
+        from raytracer_tpu.server import wire
+
+        for i0 in range(0, rows, rows_per_msg):
+            i1 = min(i0 + rows_per_msg, rows)
+            await job.send(
+                wire.pack_rows_batched(rows - 1 - i0, rgb[i0:i1], ppm)
+            )
+
+    asyncio.run(stream())
+    from raytracer_tpu.server.wire import parse_chunks
+
+    assert len(sent) > 1
+    assert all(len(m) < (1 << 20) for m in sent)
+    total_px = sum(
+        r.shape[0] for m in sent for _t, _x, _y, r in parse_chunks(m)
+    )
+    assert total_px == rows * width
