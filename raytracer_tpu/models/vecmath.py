@@ -87,6 +87,42 @@ def norm2_3(a: V3) -> Array:
     return dot3(a, a)
 
 
+def neg3(a: V3) -> V3:
+    return (-a[0], -a[1], -a[2])
+
+
+def reflect3(v: V3, n: V3) -> V3:
+    """Component-tuple ``flip_across`` (see ``reflect``): 2(v.n)n - v."""
+    d2 = 2.0 * dot3(v, n)
+    return (d2 * n[0] - v[0], d2 * n[1] - v[1], d2 * n[2] - v[2])
+
+
+def local_frame3(n: V3) -> tuple[V3, V3, V3]:
+    """Component-tuple ``local_frame`` (reference create_local_coord,
+    src/scene.rs:112-123): helper axis Y if |n.x|>0.1 else X, u = helper x n
+    normalized, v = n x u.
+
+    All intermediates are [N] lane-dense scalars — the [N,3] form's cross +
+    normalize reduce at 3/128 lane occupancy (the shading core's measured
+    reduce-fusion cost, BENCHMARKS.md round-4 cornell trace)."""
+    use_y = jnp.abs(n[0]) > 0.1
+    hx = jnp.where(use_y, 0.0, 1.0)
+    hy = jnp.where(use_y, 1.0, 0.0)
+    # helper = (hx, hy, 0); cross(helper, n) with hz=0 simplifies.
+    cx = hy * n[2]
+    cy = -hx * n[2]
+    cz = hx * n[1] - hy * n[0]
+    inv = jax.lax.rsqrt(cx * cx + cy * cy + cz * cz)
+    u = (cx * inv, cy * inv, cz * inv)
+    v = cross3(n, u)
+    return u, v, n
+
+
+def from_local3(u: V3, v: V3, w: V3, dx: Array, dy: Array, dz: Array) -> V3:
+    """Rotate a local-frame direction (dx,dy,dz components) into world."""
+    return tuple(u[k] * dx + v[k] * dy + w[k] * dz for k in range(3))
+
+
 def dot(a: Array, b: Array) -> Array:
     """Row-wise dot product -> ``[...]``."""
     return jnp.sum(a * b, axis=-1)

@@ -194,6 +194,107 @@ def sample(
     return i, pdf
 
 
+def eval_nonspecular3(
+    mat: Mat, n: vm.V3, o: vm.V3, i: vm.V3, has_phong: bool = True
+) -> Array:
+    """Component-tuple ``eval_nonspecular`` -> [N,3].
+
+    Direction inputs are SoA triples so the Phong lobe's dot products run
+    as [N] lane-dense FMAs instead of [N,3]->[N] reduce fusions (3/128 lane
+    occupancy — the measured cost of the shading core's reductions,
+    BENCHMARKS.md round-4 cornell trace).  The returned color stays [N,3]:
+    it feeds only elementwise math, which XLA flattens densely."""
+    diffuse = mat.c_d * (mat.k_d * INV_PI)[:, None]
+    f = diffuse
+    if has_phong:
+        refl = vm.reflect3(i, n)
+        cos_r = jnp.maximum(vm.dot3(o, refl), 0.0)
+        lobe = jnp.where(mat.power > 0.0, cos_r ** mat.power, 0.0)
+        phong_spec = mat.c_s * (mat.k_s * (mat.power + 2.0) / TWO_PI * lobe)[:, None]
+        f = diffuse + jnp.where((mat.brdf_type == BRDF_PHONG)[:, None], phong_spec, 0.0)
+    return jnp.where((mat.brdf_type == BRDF_SPECULAR)[:, None], 0.0, f)
+
+
+def sample3(
+    mat: Mat,
+    n: vm.V3,
+    o: vm.V3,
+    u1: Array,
+    u2: Array,
+    u3: Array,
+    fix_phong_frame: bool = True,
+    has_phong: bool = True,
+) -> tuple[vm.V3, Array]:
+    """Component-tuple ``sample`` -> (i=(x,y,z) of [N], pdf[N]).
+
+    Identical sampling distribution to ``sample`` (same draws, same
+    formulas); only the vector layout changes — every frame rotation and
+    dot runs on [N] lane-dense components."""
+    un, vn, wn = vm.local_frame3(n)
+
+    # Diffuse: cosine-weighted hemisphere (src/scene.rs:58-66).
+    z = jnp.sqrt(u1)
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = TWO_PI * u2
+    i_diff = vm.from_local3(un, vn, wn, r * jnp.cos(phi), r * jnp.sin(phi), z)
+    pdf_diff = jnp.maximum(vm.dot3(n, i_diff), 0.0) * INV_PI
+
+    i_spec = vm.reflect3(o, n)
+
+    is_spec = mat.brdf_type == BRDF_SPECULAR
+    if not has_phong:
+        i = vm.where3(is_spec, i_spec, i_diff)
+        pdf = jnp.where(is_spec, 1.0, pdf_diff)
+        return i, pdf
+
+    # Phong: three-way split on u1 (src/scene.rs:74-95).
+    pick_d = u1 < mat.k_d
+    pick_s = (~pick_d) & (u1 < mat.k_d + mat.k_s)
+    rp = jnp.sqrt(jnp.maximum(1.0 - u2, 0.0))
+    phip = TWO_PI * u3
+    phd = (rp * jnp.cos(phip), rp * jnp.sin(phip), jnp.sqrt(u2))
+    p = mat.power
+    zs = u2 ** (1.0 / (p + 1.0))
+    rs = jnp.sqrt(jnp.maximum(1.0 - u2 ** (2.0 / (p + 1.0)), 0.0))
+    phs = (rs * jnp.cos(phip), rs * jnp.sin(phip), zs)
+    ph_s_pdf = (p + 1.0) / TWO_PI * zs**p
+    if fix_phong_frame:
+        ph_d = vm.from_local3(un, vn, wn, *phd)
+        ur, vr, wr = vm.local_frame3(vm.normalize3(i_spec, eps=1e-20))
+        ph_s = vm.from_local3(ur, vr, wr, *phs)
+    else:
+        ph_d = phd
+        ph_s = phs
+    i_phong = vm.where3(pick_d, ph_d, vm.where3(pick_s, ph_s, 0.0))
+    pdf_phong = jnp.where(
+        pick_d,
+        jnp.maximum(vm.dot3(n, ph_d), 0.0) * INV_PI,
+        jnp.where(pick_s, ph_s_pdf, 1.0),
+    )
+
+    is_phong = mat.brdf_type == BRDF_PHONG
+    i = vm.where3(is_spec, i_spec, vm.where3(is_phong, i_phong, i_diff))
+    pdf = jnp.where(is_spec, 1.0, jnp.where(is_phong, pdf_phong, pdf_diff))
+    return i, pdf
+
+
+def pdf3(mat: Mat, n: vm.V3, o: vm.V3, i: vm.V3) -> Array:
+    """Component-tuple ``pdf`` (MIS balance heuristic) -> [N]."""
+    cos_n = jnp.maximum(vm.dot3(n, i), 0.0)
+    p_diff = cos_n * INV_PI
+    axis = vm.normalize3(vm.reflect3(o, n), eps=1e-20)
+    cos_r = jnp.maximum(vm.dot3(axis, i), 0.0)
+    p_lobe = (mat.power + 1.0) / TWO_PI * jnp.where(
+        mat.power > 0.0, cos_r ** mat.power, 0.0
+    )
+    p_phong = mat.k_d * p_diff + mat.k_s * p_lobe
+    return jnp.where(
+        mat.brdf_type == BRDF_PHONG,
+        p_phong,
+        jnp.where(mat.brdf_type == BRDF_DIFFUSE, p_diff, 0.0),
+    )
+
+
 def pdf(mat: Mat, n: Array, o: Array, i: Array) -> Array:
     """Density of ``sample`` at direction i (solid angle) -> [N].
 

@@ -350,19 +350,35 @@ def trace_soa(
     t_best = jnp.min(group_t, axis=0)
     valid = t_best < INF
 
-    # Winning primitive's attributes: ONE row gather from the combined
-    # table (three per-group gathers + selects measured ~2x the cost).
+    # Winning primitive's attributes.  Small scenes (no mesh): an unrolled
+    # per-component select-sum over the table — a [N]-row gather from even a
+    # 24-row table is a kCustom gather + a transposed layout copy, measured
+    # 164+44 us/iteration at 120k lanes (40% of the whole cornell iteration,
+    # round-5 device trace); the select chain fuses into neighboring
+    # elementwise work and the per-row scalar extracts hoist out of the
+    # bounce loop.  Mesh scenes keep the single row gather (tables there are
+    # tens of thousands of triangle rows).
     s_off = scene.sph_pos.shape[0]
     p_off = s_off + scene.pln_pos.shape[0]
     idx = jnp.where(
         group == 0, ts_arg, jnp.where(group == 1, s_off + tp_arg, p_off + tt_arg)
     )
-    row = jnp.take(pre.att, idx, axis=0)  # [N,4]
-    obj = row[:, 3].astype(jnp.int32)
+    n_att = pre.att.shape[0]
+    if n_att <= 64:  # covers cubes' 40 rows; see the cost note above
+        att = pre.att
+        comp = [jnp.broadcast_to(att[0, c], idx.shape) for c in range(4)]
+        for r_i in range(1, n_att):
+            m = idx == r_i
+            comp = [jnp.where(m, att[r_i, c], comp[c]) for c in range(4)]
+        v3 = (comp[0], comp[1], comp[2])
+        obj = comp[3].astype(jnp.int32)
+    else:
+        row = jnp.take(pre.att, idx, axis=0)  # [N,4]
+        obj = row[:, 3].astype(jnp.int32)
+        v3 = vm.as3(row)  # sphere center / plane n / tri n
 
     is_sph = group == 0
     pos_raw = tuple(ro[k] + t_best * rd[k] for k in range(3))
-    v3 = vm.as3(row)  # sphere center / plane n / tri n
     d = vm.sub3(pos_raw, v3)
     inv_l = 1.0 / jnp.sqrt(jnp.maximum(vm.norm2_3(d), 1e-20))
     n_geo = vm.where3(is_sph, vm.scale3(d, inv_l), v3)

@@ -82,6 +82,24 @@ def sample_light(scene: SceneArrays, u1: Array, u2: Array, u3: Array):
     return y, n, pdf
 
 
+def sample_light3(scene: SceneArrays, u1: Array, u2: Array, u3: Array):
+    """Component-tuple ``sample_light`` -> (y=(x,y,z), ny=(x,y,z), pdf[N]).
+
+    Same distribution and formulas; the SoA layout keeps the streaming
+    engine's shading core free of [N,3] stacks/reduces (BENCHMARKS.md
+    round-4 cornell trace)."""
+    if scene.light_type == LIGHT_SPHERE:
+        z = 2.0 * u1 - 1.0
+        r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+        phi = TWO_PI * u2
+        n = (r * jnp.cos(phi), r * jnp.sin(phi), z)
+        y = tuple(scene.light_sph_pos[k] + n[k] * scene.light_sph_r for k in range(3))
+        pdf = jnp.full(u1.shape, 1.0) / scene.light_area
+        return y, n, pdf
+    y, n, pdf = sample_light(scene, u1, u2, u3)
+    return vm.as3(y), vm.as3(n), pdf
+
+
 def radiance(
     scene: SceneArrays,
     pre: ScenePre,

@@ -45,8 +45,8 @@ from raytracer_tpu.models import vecmath as vm
 from raytracer_tpu.models.camera import camera_rays
 from raytracer_tpu.models.scene import BRDF_SPECULAR, LIGHT_SPHERE, SceneArrays
 from raytracer_tpu.ops import brdf
-from raytracer_tpu.ops.intersect import ScenePre, trace, trace_t
-from raytracer_tpu.render.integrator import sample_light
+from raytracer_tpu.ops.intersect import ScenePre, trace_soa, trace_t
+from raytracer_tpu.render.integrator import sample_light3
 
 BIG = jnp.float32(1e30)
 # Parking spot for lanes with no ray to trace this iteration: far outside
@@ -314,7 +314,15 @@ def render_band_regen(
         u_light3 = us[i_light + 2] if light_draws == 3 else us[i_light]
         u_bsdf3 = us[i_bsdf + 2] if bsdf_draws == 3 else us[i_bsdf]
 
-        hit = trace(
+        # The whole shading core runs on SoA component tuples ([N] vectors):
+        # the round-4 device trace pinned ~190 us of the ~675 us cornell
+        # iteration on ~15 [N,3]->[N] reduce fusions at 3/128 lane occupancy
+        # (dot/length chains below).  Elementwise [N,3] math stays [N,3]
+        # (XLA flattens it densely — the round-3 FULL-SoA engine rewrite
+        # measured 2.7x slower, BENCHMARKS.md); only the reduction-feeding
+        # vectors are component-form.
+        rd3 = vm.as3(rd)
+        hit = trace_soa(
             scene, pre, ro, rd, eps,
             presorted=scene.use_bvh and _PERMUTE_STATE,
         )
@@ -327,7 +335,7 @@ def render_band_regen(
         em_next = brdf.take_obj_rows(scene.obj_emitted, hit.obj)
         if cfg.use_mis:
             hit_light = hit.obj == scene.light_idx
-            cos_yb = jnp.maximum(vm.dot(hit.n, -rd), 1e-8)
+            cos_yb = jnp.maximum(-vm.dot3(hit.n, rd3), 1e-8)
             pdf_l_sa = (hit.t * hit.t) / (cos_yb * scene.light_area)
             w_b = jnp.where(hit_light, pdf_prev / (pdf_prev + pdf_l_sa), 1.0)
             acc = jnp.where(
@@ -336,23 +344,24 @@ def render_band_regen(
         else:
             acc = jnp.where(valid[:, None], acc + emis * em_next, acc)
 
-        x = hit.pos
+        x = hit.pos  # (x, y, z) of [N]
         nrm = hit.n
         obj = hit.obj
-        o = -rd
+        o3 = vm.neg3(rd3)
         depth = jnp.where(active, depth + 1, depth)
 
         # ---- 4) vertex shading: NEE + RR + BSDF sampling ----
         mat = brdf.gather_mat(scene, obj)
         is_spec = mat.brdf_type == BRDF_SPECULAR
 
-        y, ny, pdf_l = sample_light(scene, us[i_light], us[i_light + 1], u_light3)
-        to_y = y - x
-        dist = vm.length(to_y)
-        wi_d = to_y / jnp.maximum(dist, 1e-20)[:, None]
+        y, ny, pdf_l = sample_light3(scene, us[i_light], us[i_light + 1], u_light3)
+        to_y = vm.sub3(y, x)
+        dist = jnp.sqrt(vm.norm2_3(to_y))
+        wi_d = vm.scale3(to_y, 1.0 / jnp.maximum(dist, 1e-20))
         r2 = jnp.maximum(dist * dist, 1e-20)
-        cos_y = vm.dot(ny, -wi_d)
+        cos_y = -vm.dot3(ny, wi_d)
         nee_lanes = valid & ~is_spec
+        park_rd3 = (jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0))
         # Ray accounting counts every NEE lane — the reference traces every
         # visibility ray unconditionally (src/scene.rs:218-229), so culled
         # lanes (below) are still reference-equivalent rays: the cull is an
@@ -375,7 +384,6 @@ def render_band_regen(
         # bit-identical with the pre-cull code.
         cull = scene.use_bvh and scene.light_type == LIGHT_SPHERE
         shadow_lanes = nee_lanes & (cos_y > 0.0) if cull else nee_lanes
-        sh3 = shadow_lanes[:, None]
         # Shadow query bounded at dist - margin: finding a hit below
         # that bound is EXACTLY the reference's invisibility test
         # hit.t + margin < dist (src/scene.rs:258-270).  (any_hit=True
@@ -398,7 +406,8 @@ def render_band_regen(
             # all leave the light toward the sorted hit points.
             sh_t, sh_valid = trace_t(
                 scene_shadow, pre,
-                jnp.where(sh3, y, PARK_RO), jnp.where(sh3, -wi_d, PARK_RD),
+                vm.where3(shadow_lanes, y, PARK_RO),
+                vm.where3(shadow_lanes, vm.neg3(wi_d), park_rd3),
                 eps,
                 t_max=jnp.where(shadow_lanes, dist - eps.visibility_margin, 0.0),
                 presorted=True,
@@ -407,18 +416,19 @@ def render_band_regen(
         else:
             sh_t, sh_valid = trace_t(
                 scene, pre,
-                jnp.where(sh3, x, PARK_RO), jnp.where(sh3, wi_d, PARK_RD),
+                vm.where3(shadow_lanes, x, PARK_RO),
+                vm.where3(shadow_lanes, wi_d, park_rd3),
                 eps,
                 t_max=jnp.where(shadow_lanes, dist - eps.visibility_margin, 0.0),
             )
             vis = (~sh_valid) | (sh_t + eps.visibility_margin >= dist)
         if cull:
             vis = vis & (cos_y > 0.0)  # culled lanes were never traced
-        f_d = brdf.eval_nonspecular(mat, nrm, o, wi_d, scene.has_phong)
-        cos_x = vm.dot(nrm, wi_d)
+        f_d = brdf.eval_nonspecular3(mat, nrm, o3, wi_d, scene.has_phong)
+        cos_x = vm.dot3(nrm, wi_d)
         if cfg.use_mis:
             pdf_l_sa_d = pdf_l * r2 / jnp.maximum(cos_y, 1e-8)
-            pdf_b_at = brdf.pdf(mat, nrm, o, wi_d)
+            pdf_b_at = brdf.pdf3(mat, nrm, o3, wi_d)
             ok = vis & (cos_y > 0.0) & (cos_x > 0.0)
             direct = jnp.where(
                 ok[:, None],
@@ -432,12 +442,12 @@ def render_band_regen(
 
         p = jnp.where(depth <= cfg.rr_start_depth, 1.0, cfg.rr_survival)
         cont = valid & (us[i_rr] < p) & (depth < cfg.max_depth)
-        wi, pdf_b = brdf.sample(
-            mat, nrm, o, us[i_bsdf], us[i_bsdf + 1], u_bsdf3,
+        wi, pdf_b = brdf.sample3(
+            mat, nrm, o3, us[i_bsdf], us[i_bsdf + 1], u_bsdf3,
             cfg.fix_phong_frame, scene.has_phong,
         )
-        f_c = brdf.eval_nonspecular(mat, nrm, o, wi, scene.has_phong)
-        cos_c = vm.dot(nrm, wi)
+        f_c = brdf.eval_nonspecular3(mat, nrm, o3, wi, scene.has_phong)
+        cos_c = vm.dot3(nrm, wi)
         w_nonspec = jnp.where(
             (pdf_b > 1e-12)[:, None],
             f_c * (cos_c / jnp.maximum(pdf_b, 1e-12))[:, None],
@@ -445,7 +455,8 @@ def render_band_regen(
         )
         weight = jnp.where(is_spec[:, None], mat.c_s, w_nonspec) / p[:, None]
         beta_next = beta * weight
-        live = cont & jnp.any(beta_next > 0.0, axis=-1)
+        bn3 = vm.as3(beta_next)
+        live = cont & ((bn3[0] > 0.0) | (bn3[1] > 0.0) | (bn3[2] > 0.0))
 
         # Next-arrival emission coefficient (see integrator.radiance):
         # specular collects full emission (scaled only by 1/p); MIS lanes
@@ -460,8 +471,8 @@ def render_band_regen(
         # ---- 5) continue: dead paths regenerate at the next iteration ----
         active = live
         beta = beta_next
-        ro = jnp.where(live[:, None], x, ro)
-        rd = jnp.where(live[:, None], wi, rd)
+        ro = jnp.where(live[:, None], vm.stack3(x), ro)
+        rd = jnp.where(live[:, None], vm.stack3(wi), rd)
         return (it + 1, rays, active, j, slot, depth, ro, rd, beta, emis,
                 pdf_prev, acc)
 
