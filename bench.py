@@ -46,6 +46,9 @@ CONFIGS = [
     ("cornell_256_mis", "cornell_box", 256, True),
     ("cubes_64", "cubes", 64, False),
     ("flying_unicorn_16", "flying_unicorn", 16, False),
+    # The third BRDF on hardware (Phong lobes, mesh + sphere paths); has a
+    # native fair-CPU denominator since round 5 (cpu_tracer.cpp Phong arm).
+    ("crewmate_phong_16", "crewmate_phong", 16, False),
 ]
 
 CPU_SCRIPT = r"""
@@ -93,7 +96,7 @@ def _measure_native_cpu(scene_name: str) -> dict | None:
         from raytracer_tpu.utils import native
 
         scene = load_scene(os.path.join(HERE, "scenes", scene_name + ".toml"))
-        if scene_name == "flying_unicorn":
+        if scene_name in ("flying_unicorn", "crewmate_phong"):
             y0, rows, spp = 200, 30, 4  # a band through the mesh suffices
         else:
             y0, rows, spp = 0, 450, 4
@@ -363,6 +366,12 @@ def main() -> None:
         results["flying_unicorn_16"]["vs_native_cpu"] = round(
             results["flying_unicorn_16"]["mrays_per_s"]
             / cpu_mesh_nat["mrays_per_s"], 1
+        )
+    cpu_phong_nat = cpu_baseline("crewmate_phong", impl="native")
+    if cpu_phong_nat and results.get("crewmate_phong_16"):
+        results["crewmate_phong_16"]["vs_native_cpu"] = round(
+            results["crewmate_phong_16"]["mrays_per_s"]
+            / cpu_phong_nat["mrays_per_s"], 1
         )
 
     print(

@@ -227,6 +227,77 @@ static V3 sample_light(const Scene& sc, Rng& rng, V3* ny, double* pdf) {
 
 constexpr int kMaxDepth = 24;  // RenderConfig.max_depth
 
+// Orthonormal tangent frame around w (reference create_local_coord,
+// src/scene.rs:112-123: helper axis Y if |w.x|>0.1 else X).
+static void frame(V3 w, V3* u, V3* v) {
+  V3 a = std::fabs(w.x) > 0.1 ? V3{0, 1, 0} : V3{1, 0, 0};
+  *u = norm(cross(a, w));
+  *v = cross(w, *u);
+}
+
+// BRDF::eval for non-specular lanes (src/scene.rs:33,:41-52): diffuse
+// kd*cd/pi; Phong adds ks*cs*(p+2)/(2pi)*max(o.reflect(i,n),0)^p.
+static V3 eval_nonspec(const double* m, V3 n, V3 o, V3 i) {
+  V3 cd{m[1], m[2], m[3]};
+  V3 f = cd * (m[7] / M_PI);
+  if ((int)m[0] == 2) {
+    V3 refl = n * (2.0 * dot(i, n)) - i;
+    double cr = std::fmax(dot(o, refl), 0.0);
+    double p = m[9];
+    double lobe = p > 0.0 ? std::pow(cr, p) : 0.0;
+    V3 cs{m[4], m[5], m[6]};
+    f = f + cs * (m[8] * (p + 2.0) / (2.0 * M_PI) * lobe);
+  }
+  return f;
+}
+
+// BRDF::sample_incoming for diffuse/Phong (src/scene.rs:56-95, with the
+// frame bug fixed like the TPU default fix_phong_frame=True: the Phong
+// cosine lobe rotates around n, the power lobe around the mirror axis).
+// Returns false on a dead Phong sample (u >= kd+ks, src/scene.rs:92-95).
+static bool sample_bsdf(const double* m, V3 n, V3 o, Rng& rng, V3* i_out,
+                        double* pdf_out) {
+  if ((int)m[0] == 2) {
+    double u1 = rng.uniform();
+    double kd = m[7], ks = m[8], p = m[9];
+    if (u1 < kd) {
+      double u2 = rng.uniform(), u3 = rng.uniform();
+      double z = std::sqrt(u2);
+      double r = std::sqrt(std::fmax(1.0 - u2, 0.0));
+      double phi = 2.0 * M_PI * u3;
+      V3 u, v;
+      frame(n, &u, &v);
+      V3 i = u * (r * std::cos(phi)) + v * (r * std::sin(phi)) + n * z;
+      *i_out = i;
+      *pdf_out = std::fmax(dot(n, i), 0.0) / M_PI;
+      return true;
+    }
+    if (u1 < kd + ks) {
+      double u2 = rng.uniform(), u3 = rng.uniform();
+      double z = std::pow(u2, 1.0 / (p + 1.0));
+      double r = std::sqrt(std::fmax(1.0 - std::pow(u2, 2.0 / (p + 1.0)), 0.0));
+      double phi = 2.0 * M_PI * u3;
+      V3 axis = norm(n * (2.0 * dot(o, n)) - o);
+      V3 u, v;
+      frame(axis, &u, &v);
+      *i_out = u * (r * std::cos(phi)) + v * (r * std::sin(phi)) + axis * z;
+      *pdf_out = (p + 1.0) / (2.0 * M_PI) * std::pow(z, p);
+      return true;
+    }
+    return false;  // dead sample: i=0, weight 0 kills the path
+  }
+  // diffuse: cosine-weighted hemisphere (create_local_coord form)
+  double z = std::sqrt(rng.uniform());
+  double rr = std::sqrt(std::fmax(1.0 - z * z, 0.0));
+  double phi = 2.0 * M_PI * rng.uniform();
+  V3 u, v;
+  frame(n, &u, &v);
+  V3 i = norm(u * (rr * std::cos(phi)) + v * (rr * std::sin(phi)) + n * z);
+  *i_out = i;
+  *pdf_out = dot(n, i) / M_PI;
+  return true;
+}
+
 static V3 reflected(const Scene& sc, V3 x, V3 n, V3 o, int obj, int depth,
                     Rng& rng, uint64_t* rays) {
   if (depth > kMaxDepth) return {0, 0, 0};
@@ -245,10 +316,7 @@ static V3 reflected(const Scene& sc, V3 x, V3 n, V3 o, int obj, int depth,
     V3 nxt = reflected(sc, h.pos, h.n, i * -1.0, h.obj, depth + 1, rng, rays);
     return (em + mul(nxt, ks)) * (1.0 / p);
   }
-  // diffuse (type 0): NEE + cosine continuation.  (Phong unsupported —
-  // no BASELINE config uses it; Python raises before calling.)
-  V3 cd{m[1], m[2], m[3]};
-  V3 f = cd * (m[7] / M_PI);  // kd * cd / pi
+  // non-specular (diffuse type 0 / Phong type 2): NEE + BSDF continuation.
   V3 ny;
   double pdf;
   V3 y = sample_light(sc, rng, &ny, &pdf);
@@ -259,25 +327,18 @@ static V3 reflected(const Scene& sc, V3 x, V3 n, V3 o, int obj, int depth,
   const double* lm = sc.mats + 13 * sc.light_obj;
   V3 le{lm[10], lm[11], lm[12]};
   double vis = visible(sc, x, y, rays) ? 1.0 : 0.0;
-  V3 rad = mul(le, f) * (vis * dot(n, wi) * dot(ny, wi * -1.0) / (r2 * pdf));
+  V3 f_d = eval_nonspec(m, n, o, wi);
+  V3 rad = mul(le, f_d) * (vis * dot(n, wi) * dot(ny, wi * -1.0) / (r2 * pdf));
   if (rng.uniform() < p) {
-    // cosine-weighted hemisphere in the local frame (create_local_coord)
-    double z = std::sqrt(rng.uniform());
-    double rr = std::sqrt(std::fmax(1.0 - z * z, 0.0));
-    double phi = 2.0 * M_PI * rng.uniform();
-    V3 w = n;
-    V3 a = std::fabs(w.x) > 0.1 ? V3{0, 1, 0} : V3{1, 0, 0};
-    V3 u = norm(cross(a, w));
-    V3 v = cross(w, u);
-    V3 i = norm(u * (rr * std::cos(phi)) + v * (rr * std::sin(phi)) + w * z);
-    double pdf_b = dot(n, i) / M_PI;
-    if (pdf_b > 1e-12) {
+    V3 i;
+    double pdf_b;
+    if (sample_bsdf(m, n, o, rng, &i, &pdf_b) && pdf_b > 1e-12) {
       (*rays)++;
       Hit h = trace(sc, x, i);
       if (h.obj >= 0) {
         V3 nxt =
             reflected(sc, h.pos, h.n, i * -1.0, h.obj, depth + 1, rng, rays);
-        rad = rad + mul(nxt, f) * (dot(n, i) / (pdf_b * p));
+        rad = rad + mul(nxt, eval_nonspec(m, n, o, i)) * (dot(n, i) / (pdf_b * p));
       }
     }
   }

@@ -86,6 +86,36 @@ _PERMUTE_STATE = os.environ.get("RT_PERMUTE_STATE", "1") == "1"
 # the reference's ERR_MARGIN blur band (src/scene.rs:258-270).
 _SHADOW_REVERSE = os.environ.get("RT_SHADOW_REVERSE", "0") == "1"
 
+# Deferred NEE shadow queries (round 5): a MEASURED NEGATIVE RESULT, kept
+# env-gated OFF.  The idea (round-4 VERDICT #1 — "fuse the shadow query
+# into the main-bounce traversal"): ride the visibility segment in the lane
+# state into the NEXT iteration and resolve it presorted alongside that
+# iteration's main trace, deleting the whole per-query glue chain (own
+# coherence key + argsort + [N,8] pack gather + unsort — the chain is 27%
+# of flying_unicorn wall, round-4 RT_ABLATE=shadow).  The shadow origin is
+# the SAME point as the continuation ray's origin, so the shared
+# permutation hands the shadow wavefront exact-origin-coherent packets —
+# unlike the round-2/3 "inherit" experiment whose sort origins sat one full
+# bounce away.  Measured (v5e, flying_unicorn 600x450@16spp, warm):
+#
+#   structure                  full    RT_ABLATE=shadow   shadow cost
+#   same-iteration (own sort)  3.63 s  2.62 s             1.01 s
+#   deferred (shared order)    4.60 s  2.83 s             1.77 s
+#
+# Two causes, both structural: (a) the own-key sort does double duty the
+# shared order can't — it clusters DEAD shadow lanes (parked / culled /
+# pre-resolved, ~2/3 of each wavefront) into pure-miss packets that exit at
+# the root, where the main-ray order scatters live queries across nearly
+# every packet; (b) within a main-key packet, lanes share the CONTINUATION
+# ray's treetop-cut entry, not a tight origin cluster, so shadow frustums
+# fan.  +0.21 s is deferral bookkeeping itself (10 extra f32 state columns
+# through the row-bound permutation gather + one trailing iteration).  An
+# in-kernel main+shadow fused traversal would inherit the same order by
+# construction, so this measurement also prices that design out.
+# RT_DEFER_SHADOW=1 re-enables for re-measurement on future tree/sort
+# layouts; the path is backend-agnostic and CPU-tested.
+_DEFER_SHADOW = os.environ.get("RT_DEFER_SHADOW", "0") == "1"
+
 
 def render_band_regen(
     scene: SceneArrays,
@@ -126,6 +156,15 @@ def render_band_regen(
 
     # Safety cap; RR terminates the while-loop far earlier in practice.
     hard_cap = num_samples * (cfg.max_depth + 2) + 64
+
+    # Deferred shadow queries (see _DEFER_SHADOW): only where the per-
+    # iteration state permutation exists to carry them (BVH scenes).
+    # Non-BVH scenes trace shadows as dense [prims, N] math with no
+    # sorting at all, so deferral would only add state columns.
+    deferred = (
+        scene.use_bvh and _PERMUTE_STATE and _DEFER_SHADOW
+        and not shadow_reverse
+    )
 
     # RNG draw layout (threefry/rbg bits cost ~a trace per bounce, so only
     # draw what this scene's static material/light mix consumes).  Camera
@@ -192,13 +231,19 @@ def render_band_regen(
     # Column offsets: slot(0), meta(1), ro(2:5), rd(5:8), then either
     # beta/emis as bf16 pairs (8:11) or as f32 triples (8:11, 11:14),
     # then acc, then pdf_prev (MIS only — NEE never reads it, and leaving
-    # it out lets XLA drop the carry entirely).
+    # it out lets XLA drop the carry entirely), then — deferred-shadow mode
+    # only — the pending visibility query: s_ro(3), s_rd(3), s_cap(1) and
+    # the pending direct contribution pend(3).  The round-4 microbench
+    # showed the permutation gather is ROW/latency bound, so these +10
+    # columns cost far less than the key+argsort+pack+unsort chain they
+    # delete (see _DEFER_SHADOW).
     C_BE = 8
     C_ACC = C_BE + (3 if state_bf16 else 6)
     C_PDF = C_ACC + 3
+    C_SH = C_PDF + (1 if cfg.use_mis else 0)
 
     def pack_state(active, j, slot, depth, ro, rd, beta, emis, pdf_prev,
-                   acc):
+                   acc, sh=None):
         meta = _bc_f((active.astype(jnp.int32) << 31) | (depth << 24) | j)
         parts = [_bc_f(slot)[:, None], meta[:, None], ro, rd]
         if state_bf16:
@@ -208,16 +253,19 @@ def render_band_regen(
         parts.append(acc)
         if cfg.use_mis:
             parts.append(pdf_prev[:, None])
+        if deferred:
+            s_ro, s_rd, s_cap, pend = sh
+            parts += [s_ro, s_rd, s_cap[:, None], pend]
         return jnp.concatenate(parts, axis=1)
 
     def unpack_state(cols, pdf_prev_passthru):
-        """cols [M, C_PDF(+1)] -> state tuple (layout above)."""
+        """cols [M, C] -> state tuple (layout above)."""
         meta = _bc_i(cols[:, 1])
         if state_bf16:
             beta, emis = _unpack2(cols[:, C_BE:C_BE + 3])
         else:
             beta, emis = cols[:, C_BE:C_BE + 3], cols[:, C_BE + 3:C_BE + 6]
-        return (
+        base = (
             meta < 0,
             meta & 0xFFFFFF,
             _bc_i(cols[:, 0]),
@@ -227,14 +275,33 @@ def render_band_regen(
             cols[:, C_PDF] if cfg.use_mis else pdf_prev_passthru,
             cols[:, C_ACC:C_ACC + 3],
         )
+        if deferred:
+            base = base + (
+                cols[:, C_SH:C_SH + 3],       # s_ro
+                cols[:, C_SH + 3:C_SH + 6],   # s_rd
+                cols[:, C_SH + 6],            # s_cap
+                cols[:, C_SH + 7:C_SH + 10],  # pend
+            )
+        return base
+
+    def lane_work(st):
+        """Lanes still holding work: an in-flight path, remaining samples,
+        or (deferred mode) an unresolved visibility query."""
+        _it, _rays, active, j, *rest = st
+        work = active | (j < num_samples)
+        if deferred:
+            work = work | (rest[-2] > 0.0)  # s_cap
+        return work
 
     def cond(st):
-        it, _rays, active, j, *_ = st
-        return (it < hard_cap) & jnp.any(active | (j < num_samples))
+        it = st[0]
+        return (it < hard_cap) & jnp.any(lane_work(st))
 
     def body(st):
         (it, rays, active, j, slot, depth, ro, rd, beta, emis, pdf_prev,
-         acc) = st
+         acc, *sh_st) = st
+        if deferred:
+            s_ro, s_rd, s_cap, pend = sh_st
         # Width-agnostic: the same body serves the full band and the
         # compacted straggler tail (shapes are static per trace).
         n = active.shape[0]
@@ -293,11 +360,14 @@ def render_band_regen(
             order, _ = _coherence_order(scene, ro, rd, eps)
             cols = jnp.take(
                 pack_state(active, j, slot, depth, ro, rd, beta, emis,
-                           pdf_prev, acc),
+                           pdf_prev, acc,
+                           (s_ro, s_rd, s_cap, pend) if deferred else None),
                 order, axis=0,
             )
             (active, j, slot, depth, ro, rd, beta, emis, pdf_prev,
-             acc) = unpack_state(cols, pdf_prev)
+             acc, *sh_st) = unpack_state(cols, pdf_prev)
+            if deferred:
+                s_ro, s_rd, s_cap, pend = sh_st
 
         # ---- 2) main trace (camera + continuation rays together) ----
         rays = rays + jnp.sum(active.astype(jnp.int32))
@@ -327,6 +397,28 @@ def render_band_regen(
             presorted=scene.use_bvh and _PERMUTE_STATE,
         )
         valid = active & hit.valid
+
+        if deferred:
+            # ---- 2b) resolve the PREVIOUS iteration's shadow queries ----
+            # The pending segments left the previous shading vertex — the
+            # same origin as this iteration's continuation ray — so the
+            # state permutation above already ordered them into origin-
+            # coherent packets; presorted=True skips the whole per-query
+            # sort/pack/unsort chain (see _DEFER_SHADOW).  The visibility
+            # test "nearest hit at/just beyond the light sample"
+            # (src/scene.rs:258-270) is sh_t >= cap with cap = dist -
+            # margin, carried from issue time.
+            if os.environ.get("RT_ABLATE") == "shadow":  # timing probe only
+                vis_prev = jnp.ones_like(s_cap, bool)
+            else:
+                sh_t, sh_valid = trace_t(
+                    scene, pre, vm.as3(s_ro), vm.as3(s_rd), eps,
+                    t_max=s_cap, presorted=True,
+                )
+                vis_prev = (~sh_valid) | (sh_t >= s_cap)
+            acc = acc + jnp.where(vis_prev[:, None], pend, 0.0)
+            pend = jnp.zeros_like(pend)
+            s_cap = jnp.zeros_like(s_cap)
 
         # ---- 3) arrival: collect emission through the bounce ----
         # Contributions bank STRAIGHT into acc (see the layout note above):
@@ -391,14 +483,23 @@ def render_band_regen(
         # shadow wavefront in isolation, but a wash in production where
         # ~half the lanes are parked — unoccluded lanes can never resolve,
         # so the per-step all-reduce buys exits too rarely.  Kept off.)
-        # Shadow rays sort by their OWN key: inheriting the main-ray order
-        # lost its re-measurement twice (round 2 skip-links, round 3 wide
-        # stack kernel: 12.7 vs 8.8 s on flying_unicorn @16spp — shadow
-        # directions fan toward the light, so main-order packets
-        # union-descend the whole light frustum; the per-iteration argsort
-        # is cheap by comparison).  The RT_SHADOW_INHERIT hook lives in git
-        # history only (BENCHMARKS.md round-3 dead ends).
-        if os.environ.get("RT_ABLATE") == "shadow":  # timing probe only
+        # Shadow-query ordering: in deferred mode (the BVH default, see
+        # _DEFER_SHADOW) the query rides the state into the NEXT iteration
+        # and shares its permutation — exact-origin coherence with the
+        # continuation wavefront, no per-query sort chain.  Same-iteration
+        # (non-deferred) shadow rays sort by their OWN key: inheriting the
+        # PREVIOUS segment's order lost its re-measurement twice (round 2
+        # skip-links, round 3 wide stack kernel: 12.7 vs 8.8 s on
+        # flying_unicorn @16spp — there the sort origins sit one full
+        # bounce away from the shadow origins).
+        if deferred:
+            vis = None  # resolved next iteration (step 2b)
+            s_ro = vm.stack3(vm.where3(shadow_lanes, x, PARK_RO))
+            s_rd = vm.stack3(vm.where3(shadow_lanes, wi_d, park_rd3))
+            s_cap = jnp.where(
+                shadow_lanes, dist - eps.visibility_margin, 0.0
+            )
+        elif os.environ.get("RT_ABLATE") == "shadow":  # timing probe only
             vis = shadow_lanes
         elif shadow_reverse:
             # Light -> surface (see _SHADOW_REVERSE above).  presorted: the
@@ -422,23 +523,33 @@ def render_band_regen(
                 t_max=jnp.where(shadow_lanes, dist - eps.visibility_margin, 0.0),
             )
             vis = (~sh_valid) | (sh_t + eps.visibility_margin >= dist)
-        if cull:
+        if not deferred and cull:
             vis = vis & (cos_y > 0.0)  # culled lanes were never traced
         f_d = brdf.eval_nonspecular3(mat, nrm, o3, wi_d, scene.has_phong)
         cos_x = vm.dot3(nrm, wi_d)
+        # In deferred mode the direct term is computed WITHOUT the
+        # visibility factor and parked in ``pend``; it banks into acc next
+        # iteration multiplied by the resolved visibility bit.  Culled
+        # lanes (cos_y <= 0) are excluded from shadow_lanes, so their pend
+        # is zero — exactly the reference's occluded-anyway outcome.
+        vis_f = jnp.float32(1.0) if deferred else jnp.where(vis, 1.0, 0.0)
         if cfg.use_mis:
             pdf_l_sa_d = pdf_l * r2 / jnp.maximum(cos_y, 1e-8)
             pdf_b_at = brdf.pdf3(mat, nrm, o3, wi_d)
-            ok = vis & (cos_y > 0.0) & (cos_x > 0.0)
+            ok_geo = (cos_y > 0.0) & (cos_x > 0.0)
+            ok = ok_geo if deferred else (vis & ok_geo)
             direct = jnp.where(
                 ok[:, None],
                 light_e[None, :] * f_d * (cos_x / (pdf_l_sa_d + pdf_b_at))[:, None],
                 0.0,
             )
         else:
-            scale = jnp.where(vis, 1.0, 0.0) * cos_x * cos_y / (r2 * pdf_l)
+            scale = vis_f * cos_x * cos_y / (r2 * pdf_l)
             direct = light_e[None, :] * f_d * scale[:, None]
-        acc = acc + jnp.where(nee_lanes[:, None], beta * direct, 0.0)
+        if deferred:
+            pend = jnp.where(shadow_lanes[:, None], beta * direct, 0.0)
+        else:
+            acc = acc + jnp.where(nee_lanes[:, None], beta * direct, 0.0)
 
         p = jnp.where(depth <= cfg.rr_start_depth, 1.0, cfg.rr_survival)
         cont = valid & (us[i_rr] < p) & (depth < cfg.max_depth)
@@ -473,8 +584,11 @@ def render_band_regen(
         beta = beta_next
         ro = jnp.where(live[:, None], vm.stack3(x), ro)
         rd = jnp.where(live[:, None], vm.stack3(wi), rd)
-        return (it + 1, rays, active, j, slot, depth, ro, rd, beta, emis,
-                pdf_prev, acc)
+        out = (it + 1, rays, active, j, slot, depth, ro, rd, beta, emis,
+               pdf_prev, acc)
+        if deferred:
+            out = out + (s_ro, s_rd, s_cap, pend)
+        return out
 
     st = (
         jnp.int32(0),
@@ -490,6 +604,13 @@ def render_band_regen(
         jnp.zeros(n),
         zero3,
     )
+    if deferred:
+        st = st + (
+            jnp.full((n, 3), PARK_RO),        # s_ro: parked, no query yet
+            jnp.broadcast_to(PARK_RD, (n, 3)),  # s_rd
+            jnp.zeros(n),                      # s_cap: 0 = no pending query
+            zero3,                             # pend
+        )
     # ---- tail compaction (BVH scenes) ----
     # In a closed scene lanes die only by Russian roulette (survival 0.9
     # past depth 5), so per-lane run lengths have a fat geometric tail: the
@@ -516,8 +637,8 @@ def render_band_regen(
         tail_slots, tail_accs = [], []
         for w2 in widths:
             def cond_wide(st, _w2=w2):
-                it, _rays, active, j, *_ = st
-                work = active | (j < num_samples)
+                it = st[0]
+                work = lane_work(st)
                 return (
                     (it < hard_cap)
                     & jnp.any(work)
@@ -526,15 +647,18 @@ def render_band_regen(
 
             st = jax.lax.while_loop(cond_wide, body, st)
             (it, rays, active, j, slot, depth, ro, rd, beta, emis,
-             pdf_prev, acc) = st
-            work = active | (j < num_samples)
+             pdf_prev, acc, *sh_st) = st
+            # A lane with an unresolved deferred visibility query still
+            # holds work: its acc must not be frozen into the tail rows
+            # before the pending contribution banks (lane_work covers it).
+            work = lane_work(st)
             # Stable sort, working lanes first: survivors keep their
             # coherence order, done lanes' final acc/slot land in the
             # tail rows.
             order2 = jnp.argsort(jnp.where(work, 0, 1), stable=True)
             cols = jnp.take(
                 pack_state(active, j, slot, depth, ro, rd, beta, emis,
-                           pdf_prev, acc),
+                           pdf_prev, acc, tuple(sh_st) if deferred else None),
                 order2, axis=0,
             )
             tail_slots.append(_bc_i(cols[w2:, 0]))

@@ -156,13 +156,14 @@ def cpu_render_band(
     the reference IS multithreaded native CPU code.
 
     Returns (pixel RGB f64 [rows, width, 3] pre-gamma in [0,1], rays
-    traced) or None when the shared library is unavailable.  Diffuse +
-    specular materials only (no BASELINE config uses Phong).
+    traced) or None when the shared library is unavailable.  All three
+    BRDFs (diffuse / specular / Phong) are supported; mesh lights are not
+    (no shipped scene has one).
     """
     lib = _lib()
     if lib is None or not hasattr(lib, "rt_cpu_render_band"):
         return None
-    if scene.has_phong or scene.light_type != 0:
+    if scene.light_type != 0:
         return None
     import ctypes as ct
 

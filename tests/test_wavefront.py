@@ -160,3 +160,40 @@ def test_tail_compaction_agrees_and_disabled_path_matches():
     # mad 0.55 at these shapes (CPU backend).
     assert abs(on.mean() - off.mean()) < 1.5
     assert np.abs(on - off).mean() < 3.0
+
+
+def test_deferred_shadow_agrees_with_same_iteration():
+    """RT_DEFER_SHADOW=1 (env-gated measured-negative experiment — see
+    render/wavefront.py) must stay statistically correct: the deferral
+    changes only WHICH iteration a direct-light term banks into acc, not
+    the estimator's terms.  Same seed, same draws, so agreement is tight
+    (the visibility comparison regroups one f32 subtraction)."""
+    import importlib
+
+    import numpy as np
+
+    from tests.test_server_mesh import chair_scene
+    from raytracer_tpu.render import wavefront
+    from raytracer_tpu.render.renderer import Renderer
+
+    scene = chair_scene()
+    cfg = RenderConfig(width=60, height=45, rays_per_pass=1 << 12,
+                       mesh_rays_per_pass=1 << 12, seed=7)
+    from raytracer_tpu.render import renderer as _renderer
+
+    base = Renderer(scene, cfg).render_image(8).astype(np.float64)
+    old = os.environ.get("RT_DEFER_SHADOW")
+    os.environ["RT_DEFER_SHADOW"] = "1"
+    try:
+        importlib.reload(wavefront)
+        _renderer._streaming_jit.cache_clear()
+        deferred = Renderer(scene, cfg).render_image(8).astype(np.float64)
+    finally:
+        if old is None:
+            os.environ.pop("RT_DEFER_SHADOW", None)
+        else:
+            os.environ["RT_DEFER_SHADOW"] = old
+        importlib.reload(wavefront)
+        _renderer._streaming_jit.cache_clear()
+    assert abs(base.mean() - deferred.mean()) < 1.5
+    assert np.abs(base - deferred).mean() < 3.0
