@@ -94,11 +94,15 @@ class RenderConfig:
     tail_compact: bool = True
     tail_compact_stages: int = 3
 
-    # Integrator scheduling: "regen" = regenerating wavefront (dead lanes
-    # immediately claim fresh camera samples, ~2x occupancy; production
-    # path, render/wavefront.py); "simple" = plain lockstep wavefront
+    # Integrator scheduling: "mega" = Pallas bounce megakernel (whole
+    # per-sample loop in one TPU kernel, zero HBM state traffic; covers
+    # sphere/plane NEE scenes — cornell_box @256spp measured 2329 Mrays/s
+    # vs regen's 505, round 5) with automatic fallback to "regen" for
+    # meshes/Phong/MIS/CPU; "regen" = regenerating XLA wavefront (dead
+    # lanes immediately claim fresh camera samples, ~2x occupancy;
+    # render/wavefront.py); "simple" = plain lockstep wavefront
     # (render/integrator.py — the readable reference path).
-    engine: str = "regen"
+    engine: str = "mega"
 
     # RNG base seed.  The reference uses unseeded thread-local RNG
     # (non-reproducible); we use counter-based keys derived from

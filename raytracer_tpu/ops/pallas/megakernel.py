@@ -261,21 +261,39 @@ def _mega_kernel(
             occ = occ | ((jnp.abs(d_n) >= plane_parallel) & (t >= 0.0) & (t < bound))
         return occ
 
+    # Loop-carry constraints on this toolchain (jax 0.8.x-era Mosaic,
+    # round 5): (a) an i1 vector loop state fails to legalize
+    # ("failed to legalize operation 'scf.yield'", vpad layout mismatch),
+    # so the active mask crosses the while_loop boundary as i32; (b) a
+    # vector->scalar reduction inside the while_loop *condition*
+    # miscompiles silently (the loop exits early and renders dim), so the
+    # condition is kept purely scalar: body computes the "any lane still
+    # has work" bit into an i32 scalar carried in the state, and cond only
+    # compares scalars.
     def cond(st):
-        it = st[0]
-        active, j = st[2], st[3]
-        return (it < hard_cap) & jnp.any(active | (j < num_samples))
+        it, n_work = st[0], st[1]
+        return (it < hard_cap) & (n_work > 0)
 
     def body(st):
-        (it, rays, active, j, depth, ro, rd, L, beta, emis, acc) = st
+        (it, _n_work, rays, active_i, j, depth, ro, rd, L, beta, emis,
+         acc) = st
+        active = active_i != 0
         it_u = it.astype(jnp.uint32)
 
         def u(draw):
             if hw_rng:
-                bits = pltpu.prng_random_bits((rows, 128))
-                return (bits >> 8).astype(jnp.float32) * jnp.float32(
-                    1.0 / (1 << 24)
+                # prng_random_bits returns SIGNED i32 on this toolchain
+                # (round-5 regression: previously u32); without the bitcast
+                # the >>8 is an arithmetic shift and ~47% of draws come out
+                # negative (NaN tent/cosine samples, dim renders).
+                bits = pltpu.bitcast(
+                    pltpu.prng_random_bits((rows, 128)), jnp.uint32
                 )
+                # u32->f32 casts don't lower in Mosaic; the 24-bit value
+                # fits i32 exactly, so round-trip through i32.
+                return (bits >> 8).astype(jnp.int32).astype(
+                    jnp.float32
+                ) * jnp.float32(1.0 / (1 << 24))
             return _uniform(seed, lane_u, it_u, draw)
 
         # ---- 1) regenerate: idle lanes start their next sample ----
@@ -382,12 +400,18 @@ def _mega_kernel(
         active = live
         ro = _where3(live, x, ro)
         rd = _where3(live, wi, rd)
-        return (it + 1, rays, active, j, depth, ro, rd, L, beta, emis, acc)
+        # Scalar "work remains" bit for the (scalar-only) loop condition:
+        # any live lane, or any lane with samples still to draw.
+        work = live | (j < num_samples)
+        n_work = jnp.max(work.astype(jnp.int32))
+        return (it + 1, n_work, rays, active.astype(jnp.int32), j, depth,
+                ro, rd, L, beta, emis, acc)
 
     st = (
         jnp.int32(0),
+        jnp.int32(1),  # scalar work-remains bit (see cond); 1 = run once
         jnp.zeros(z.shape, jnp.int32),
-        jnp.zeros(z.shape, jnp.bool_),
+        jnp.zeros(z.shape, jnp.int32),  # active mask (i32 carry, see cond)
         # Padded lanes (slot >= n_valid) start with their sample budget
         # exhausted so the loop's j<num_samples guard can terminate.
         jnp.where(slot < n_valid, 0, num_samples),
@@ -400,7 +424,7 @@ def _mega_kernel(
         zero3,
     )
     out = jax.lax.while_loop(cond, body, st)
-    rays, acc = out[1], out[10]
+    rays, acc = out[2], out[11]
     acc_r[0] = acc[0]
     acc_g[0] = acc[1]
     acc_b[0] = acc[2]

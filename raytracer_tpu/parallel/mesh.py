@@ -48,8 +48,11 @@ def make_mesh(devices=None) -> Mesh:
 
 
 @functools.lru_cache(maxsize=64)
-def _sharded_band_fn(cfg: RenderConfig, rows_per_dev: int, mesh: Mesh, shape_key):
-    """A SEPARATE jit instance per (cfg, rows, mesh, scene-shape) signature.
+def _sharded_band_fn(
+    cfg: RenderConfig, rows_per_dev: int, mesh: Mesh, shape_key, engine: str
+):
+    """A SEPARATE jit instance per (cfg, rows, mesh, scene-shape, engine)
+    signature.
 
     One shared jit wrapper would be the natural choice, but reusing it
     across scenes whose traced programs prune different argument subsets
@@ -57,15 +60,21 @@ def _sharded_band_fn(cfg: RenderConfig, rows_per_dev: int, mesh: Mesh, shape_key
     ("Execution supplied 40 buffers but compiled program expected 44").
     Distinct jit objects have distinct caches and cannot cross-poison.
     ``shape_key`` exists purely to separate those caches.
+
+    ``engine`` is the RESOLVED engine name (renderer.select_band_engine):
+    the caller applies the scene/backend gate, so the CPU fake-device mesh
+    always shards "regen" while a TPU pod slice shards the megakernel for
+    its subset — each device runs the whole band kernel on its own rows
+    (no collectives inside, so the Pallas call shards trivially).
     """
-    from raytracer_tpu.render.wavefront import render_band_regen
+    band_fn = rnd._band_fn(engine)
 
     def run(scene, pre, y0, num_samples, key):
         def per_device(scene, pre, y0, num_samples, key):
             d = jax.lax.axis_index(AXIS)
             my_y0 = y0 + d.astype(jnp.int32) * rows_per_dev
             my_key = jax.random.fold_in(key, d)
-            sums, rays = render_band_regen(
+            sums, rays = band_fn(
                 scene, pre, cfg, my_y0, rows_per_dev, num_samples, my_key
             )
             return sums, jax.lax.psum(rays, AXIS)
@@ -101,7 +110,8 @@ def render_bands_sharded(
     shape_key = tuple(
         (x.shape, str(x.dtype)) for x in jax.tree.leaves((scene, pre))
     )
-    fn = _sharded_band_fn(cfg, rows_per_dev, mesh, shape_key)
+    engine = rnd.select_band_engine(scene, cfg)
+    fn = _sharded_band_fn(cfg, rows_per_dev, mesh, shape_key, engine)
     return fn(scene, pre, y0, num_samples, key)
 
 
@@ -114,8 +124,8 @@ class ShardedRenderer(rnd.Renderer):
 
     def __init__(self, scene, cfg: RenderConfig | None = None, mesh: Mesh | None = None):
         super().__init__(scene, cfg)
-        assert (cfg or RenderConfig()).engine == "regen", (
-            "ShardedRenderer supports the streaming engine only"
+        assert (cfg or RenderConfig()).engine in ("regen", "mega"), (
+            "ShardedRenderer supports the streaming engines only"
         )
         self.mesh = mesh or make_mesh()
         self.n_dev = self.mesh.devices.size
@@ -125,7 +135,7 @@ class ShardedRenderer(rnd.Renderer):
         # one dispatch stays near the lane budget *per device*; the final
         # band may overshoot H (render_image clips the excess rows).
         cfg = self.cfg
-        lanes_per_row = cfg.width * 4 * (1 if cfg.engine == "regen" else k)
+        lanes_per_row = cfg.width * 4 * (1 if cfg.engine != "simple" else k)
         target = max(1, (budget or cfg.rays_per_pass) // lanes_per_row)
         n_bands = max(1, -(-cfg.height // (target * self.n_dev)))
         n_bands = min(n_bands, self.MAX_BANDS)  # large-frame dispatch cap

@@ -111,23 +111,34 @@ render_band = functools.partial(
 )(_render_band_impl)
 
 
-@functools.lru_cache(maxsize=4)
-def _streaming_jit(engine: str):
+def _band_fn(engine: str):
+    """The raw (unjitted) streaming band function for a resolved engine
+    name — shared by the single-device jit wrapper below and the
+    shard_map'd multi-chip path (parallel/mesh.py)."""
     if engine == "fused":
         from raytracer_tpu.render.wavefront_fused import render_band_fused as fn
     elif engine == "mega":
         from raytracer_tpu.ops.pallas.megakernel import render_band_mega as fn
     else:
         from raytracer_tpu.render.wavefront import render_band_regen as fn
-    return functools.partial(jax.jit, static_argnames=("cfg", "rows"))(fn)
+    return fn
 
 
-def render_band_streaming(scene, pre, cfg, y0, rows, num_samples, key):
-    """Jit wrapper for the streaming engines: num_samples is DYNAMIC so one
-    compile per (cfg, rows) serves every spp.  MIS renders always use the
-    plain streaming engine (the fused one is NEE-only); the Pallas bounce
+@functools.lru_cache(maxsize=4)
+def _streaming_jit(engine: str):
+    return functools.partial(jax.jit, static_argnames=("cfg", "rows"))(
+        _band_fn(engine)
+    )
+
+
+def select_band_engine(scene, cfg) -> str:
+    """Resolve ``cfg.engine`` to the engine actually dispatched for this
+    scene on the current backend — the single gating policy for BOTH the
+    single-device and the sharded path.  MIS renders always use the plain
+    streaming engine (the fused one is NEE-only); the Pallas bounce
     megakernel ("mega") covers its register-resident subset (sphere/plane
-    geometry, diffuse/specular, NEE) and falls back to "regen" otherwise."""
+    geometry, diffuse/specular, NEE, TPU backend) and falls back to
+    "regen" otherwise."""
     engine = cfg.engine
     if engine == "fused" and cfg.use_mis:
         engine = "regen"
@@ -136,6 +147,14 @@ def render_band_streaming(scene, pre, cfg, y0, rows, num_samples, key):
 
         if not supports_megakernel(scene, cfg) or jax.default_backend() == "cpu":
             engine = "regen"
+    return engine
+
+
+def render_band_streaming(scene, pre, cfg, y0, rows, num_samples, key):
+    """Jit wrapper for the streaming engines: num_samples is DYNAMIC so one
+    compile per (cfg, rows) serves every spp.  Engine gating policy:
+    ``select_band_engine``."""
+    engine = select_band_engine(scene, cfg)
     return _streaming_jit(engine)(scene, pre, cfg, y0, rows, num_samples, key)
 
 
@@ -202,9 +221,9 @@ def make_renderer(scene: SceneArrays, cfg: RenderConfig, sharded: bool | None = 
     if sharded is None:
         import jax
 
-        sharded = len(jax.devices()) > 1 and cfg.engine == "regen"
-    elif sharded and cfg.engine != "regen":
-        raise ValueError("sharded rendering requires engine='regen'")
+        sharded = len(jax.devices()) > 1 and cfg.engine in ("regen", "mega")
+    elif sharded and cfg.engine not in ("regen", "mega"):
+        raise ValueError("sharded rendering requires engine='regen' or 'mega'")
     if sharded:
         from raytracer_tpu.parallel.mesh import ShardedRenderer
 

@@ -334,10 +334,10 @@ class Server:
         # runs the streaming engine; other engines fall back to 1 device.
         # (Selection policy lives in render.renderer.make_renderer, shared
         # with the CLI tools.)
-        if sharded and self.base_cfg.engine != "regen":
+        if sharded and self.base_cfg.engine not in ("regen", "mega"):
             # Fail fast: both facts are known here; raising per render
             # request would tear down client connections instead.
-            raise ValueError("sharded serving requires engine='regen'")
+            raise ValueError("sharded serving requires engine='regen' or 'mega'")
         self.sharded = sharded
 
     def _make_renderer(self, scene, cfg: RenderConfig) -> Renderer:

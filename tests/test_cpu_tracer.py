@@ -72,7 +72,27 @@ def test_unicorn_bvh_matches_brute_force_exactly():
 
 
 def test_cpu_tracer_gating():
-    """Phong scenes are out of the native tracer's scope -> None."""
+    """Phong scenes are IN scope since round 5 (crewmate_phong renders);
+    mesh-light scenes remain out of scope -> None."""
     _require_tracer()
     scene = load_scene(os.path.join(SCENES, "crewmate_phong.toml"))
-    assert native.cpu_render_band(scene, 32, 24, 0, 4, 4) is None
+    out = native.cpu_render_band(scene, 32, 24, 0, 4, 4)
+    assert out is not None
+    rgb, rays = out
+    assert rgb.shape == (4, 32, 3) and np.isfinite(rgb).all() and rays > 0
+
+    from raytracer_tpu.models.loader import load_scene_dict
+    mesh_light = {
+        "camera": {"pos": [0.0, 0.0, 5.0], "dir": [0.0, 0.0, -1.0]},
+        "objects": [
+            {
+                "brdf": {"type": "diffuse", "kd": [0, 0, 0]},
+                "geometry": {
+                    "type": "cube", "pos": [-0.5, 3.5, -0.5], "size": 1.0,
+                },
+                "emitted": [10.0, 10.0, 10.0],
+            },
+        ],
+    }
+    ml = load_scene_dict(mesh_light, name="ml")
+    assert native.cpu_render_band(ml, 32, 24, 0, 4, 4) is None
