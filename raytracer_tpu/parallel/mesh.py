@@ -111,6 +111,10 @@ def render_bands_sharded(
         (x.shape, str(x.dtype)) for x in jax.tree.leaves((scene, pre))
     )
     engine = rnd.select_band_engine(scene, cfg)
+    if cfg.engine != engine:  # normalize the static key (see renderer.py)
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, engine=engine)
     fn = _sharded_band_fn(cfg, rows_per_dev, mesh, shape_key, engine)
     return fn(scene, pre, y0, num_samples, key)
 

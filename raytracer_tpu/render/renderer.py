@@ -153,8 +153,16 @@ def select_band_engine(scene, cfg) -> str:
 def render_band_streaming(scene, pre, cfg, y0, rows, num_samples, key):
     """Jit wrapper for the streaming engines: num_samples is DYNAMIC so one
     compile per (cfg, rows) serves every spp.  Engine gating policy:
-    ``select_band_engine``."""
+    ``select_band_engine``.  cfg.engine is normalized to the RESOLVED
+    engine before it enters the jit static key, so scenes that fall back
+    (e.g. mesh scenes under the "mega" default) share the fallback
+    engine's compile cache instead of recompiling per requested-engine
+    spelling."""
+    import dataclasses
+
     engine = select_band_engine(scene, cfg)
+    if cfg.engine != engine:
+        cfg = dataclasses.replace(cfg, engine=engine)
     return _streaming_jit(engine)(scene, pre, cfg, y0, rows, num_samples, key)
 
 
