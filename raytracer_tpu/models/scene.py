@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from typing import Any
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -238,7 +240,10 @@ def build_scene_arrays(
         )
 
         bvh_lo, bvh_hi, bvh_skip, bvh_first, bvh_count = bvh
-        cut_ids = treetop_cut(bvh)
+        # RT_MAX_CUT: measurement hook — treetop-cut size re-sweeps (the
+        # 16/64/96 sweep that picked 32 predates the Pallas key kernel,
+        # whose per-node cost is far below the XLA slab loop's).
+        cut_ids = treetop_cut(bvh, max_cut=int(os.environ.get("RT_MAX_CUT", "32")))
         cut_lo, cut_hi = bvh_lo[cut_ids], bvh_hi[cut_ids]
         tail = triangles[bvh_tri_start:]
         tri_pts_ordered = np.stack(

@@ -24,6 +24,8 @@ is deliberately NOT reproduced — SURVEY §5 classifies it as a bug to fix).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,11 +37,15 @@ from raytracer_tpu.config import Epsilons
 # 4->58s, 8->51s, 16->40s, 32->33s, 64->29s.  Round-3 re-sweep with the
 # 8-wide stack kernel (flying_unicorn @16spp warm, C_LEAF in braces):
 # 64{12}=7.13, 64{6}=6.83, 128{12}=6.77, 128{6}=6.52, 128{3}=**6.46**,
-# 128{1.5}=6.48, 192{6}=6.71, 256{3}=6.74.  Fat leaves win because a
-# packet visit's fixed cost (node fetch + per-step overhead) dwarfs the
-# dense per-triangle VPU math; 128 with a near-flat leaf-cost model is
-# the optimum, at the price of a bigger kernel unroll (longer compiles).
-MAX_LEAF = 128
+# 128{1.5}=6.48, 192{6}=6.71, 256{3}=6.74 — fat leaves won while a packet
+# visit's FIXED cost (node fetch + per-step overhead) dwarfed the dense
+# per-triangle VPU math.  Round-5 re-sweep on the current toolchain (the
+# round-5 Mosaic bump shifted kernel cost toward the leaf ALU, making the
+# kernel ~42% of unicorn wall): 64{3}=**3.42**, 64{6}=3.48, 32{6}=3.45,
+# 128{3}=3.62 — the per-visit fixed cost shrank, so HALVING the dense
+# leaf unroll now wins ~6% end-to-end (and halves the kernel's cold
+# compile).  64 is the round-5 default; RT_MAX_LEAF re-sweeps.
+MAX_LEAF = int(os.environ.get("RT_MAX_LEAF", "64"))
 INF = jnp.float32(3.0e38)
 
 
@@ -52,7 +58,7 @@ SAH_BINS = 16
 # one leaf visit to one internal-node visit; the round-3 sweep above found
 # the end-to-end optimum well BELOW the naive ratio (bigger leaves win
 # until ~flat), so it is a tuned constant, not a measured ratio.
-C_LEAF = 3.0
+C_LEAF = float(os.environ.get("RT_C_LEAF", "3.0"))
 
 
 def _half_area(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:

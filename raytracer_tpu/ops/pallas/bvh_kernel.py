@@ -714,8 +714,23 @@ def bvh_intersect_pallas(
             t, idx = run(rays)
             t, idx = t.reshape(-1)[:n], idx.reshape(-1)[:n]
         else:
-            order, _ = _coherence_order(scene, ro3, rd3, eps)
-            rays8 = jnp.take(rays8, order, axis=0)
+            # Group-quantized order: measured 3.3x SLOWER end-to-end at G=8
+            # (see render/wavefront._SORT_GROUP — a min-key group drags dead
+            # lanes into live packets, defeating the sort's dead-lane
+            # compaction, which matters more than the fatter gather rows it
+            # buys).  Env-gated OFF; default is the per-lane order below.
+            G = int(os.environ.get("RT_SORT_GROUP", "1"))
+            order = order_g = None
+            if G > 1 and n % G == 0:
+                key = _coherence_key(scene, ro3, rd3, eps)
+                gkey = jnp.min(key.reshape(n // G, G), axis=1)
+                order_g = jnp.argsort(gkey)
+                rays8 = jnp.take(
+                    rays8.reshape(n // G, G * 8), order_g, axis=0
+                ).reshape(n, 8)
+            else:
+                order, _ = _coherence_order(scene, ro3, rd3, eps)
+                rays8 = jnp.take(rays8, order, axis=0)
             pad = g * PACKET - n
             if pad:
                 # Padded lanes: degenerate rays (d=0 -> slab miss), resolved=1.
@@ -741,12 +756,21 @@ def bvh_intersect_pallas(
     t = t[:n]
     idx = idx[:n]
     if not presorted:
-        # Unsort by SORTING on the forward permutation: out[order[i]] = x[i]
-        # is exactly "sort x by key=order".  A 540k 2-operand lax.sort is
-        # ~0.76 ms on v5e where the equivalent 1-D gather-by-inverse
-        # measured 3.6 ms (profiler, round 3) — and no inverse permutation
-        # is ever materialized.  Separate sorts per output so XLA drops the
-        # idx one entirely for trace_t callers that discard it.
-        _, t = jax.lax.sort((order, t), num_keys=1)
-        _, idx = jax.lax.sort((order, idx), num_keys=1)
+        if order is None:
+            # Grouped unsort: one inverse argsort at N/G plus one gather of
+            # N/G rows of G results per output (fat contiguous rows again).
+            inv_g = jnp.argsort(order_g)
+            ng = order_g.shape[0]
+            t = jnp.take(t.reshape(ng, -1), inv_g, axis=0).reshape(-1)
+            idx = jnp.take(idx.reshape(ng, -1), inv_g, axis=0).reshape(-1)
+        else:
+            # Unsort by SORTING on the forward permutation: out[order[i]] =
+            # x[i] is exactly "sort x by key=order".  A 540k 2-operand
+            # lax.sort is ~0.76 ms on v5e where the equivalent 1-D
+            # gather-by-inverse measured 3.6 ms (profiler, round 3) — and no
+            # inverse permutation is ever materialized.  Separate sorts per
+            # output so XLA drops the idx one entirely for trace_t callers
+            # that discard it.
+            _, t = jax.lax.sort((order, t), num_keys=1)
+            _, idx = jax.lax.sort((order, idx), num_keys=1)
     return t, jnp.clip(idx, 0, scene.tri_a.shape[0] - 1)

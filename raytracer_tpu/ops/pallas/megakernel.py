@@ -1,5 +1,5 @@
 """Pallas bounce megakernel: the whole per-sample path-trace loop in ONE
-TPU kernel for sphere/plane scenes.
+TPU kernel for sphere/plane/small-triangle scenes.
 
 The streaming XLA engine (render/wavefront.py) is already one fused XLA
 while-loop, but XLA materializes the carried lane state ([N,23] f32) to HBM
@@ -27,7 +27,8 @@ back to the XLA engine (render/renderer.py gates on scene metadata).
 
 Scope: matches BASELINE's north star — "intersect + shade + RNG fused into
 a Pallas megakernel" — for the scenes whose whole geometry fits in
-registers (cornell_box: 3 spheres + 6 planes).
+registers (cornell_box: 3 spheres + 6 planes; cubes: 1 sphere + 6 planes +
+24 statically-unrolled prism triangles, see MEGA_MAX_TRIS).
 """
 
 from __future__ import annotations
@@ -102,6 +103,7 @@ def _mega_kernel(
     *,
     n_spheres: int,
     n_planes: int,
+    n_tris: int,
     n_objects: int,
     width: int,
     height: int,
@@ -110,7 +112,8 @@ def _mega_kernel(
     cfg_tuple: tuple,
 ):
     (fov_scale, rr_start_depth, rr_survival, max_depth, sphere_tmin,
-     plane_parallel, hit_offset, visibility_margin) = cfg_tuple
+     plane_parallel, hit_offset, visibility_margin, tri_tmin,
+     tri_parallel) = cfg_tuple
 
     # ---- unpack scene scalars from SMEM ----
     p = 0
@@ -139,6 +142,20 @@ def _mega_kernel(
             rd_(p + 6),
         ))
         p += 7
+    tri = []  # (n_unit3, n_d, q1_3, q1a, q2_3, q2a, obj) — the barycentric-
+    # gradient form shared with ops.intersect.tri_precompute (six dots per
+    # (tri, ray); reference Moller-Trumbore semantics, src/geometry.rs:637-670)
+    for s in range(n_tris):
+        tri.append((
+            [rd_(p), rd_(p + 1), rd_(p + 2)],
+            rd_(p + 3),
+            [rd_(p + 4), rd_(p + 5), rd_(p + 6)],
+            rd_(p + 7),
+            [rd_(p + 8), rd_(p + 9), rd_(p + 10)],
+            rd_(p + 11),
+            rd_(p + 12),
+        ))
+        p += 13
     mats = []  # (is_spec, f_d3 = c_d*k_d/pi, c_s3, em3)
     for o in range(n_objects):
         mats.append((
@@ -227,6 +244,22 @@ def _mega_kernel(
             v3 = _where3(take, nrm, v3)
             is_sph = is_sph & ~take
             obj = jnp.where(take, ob, obj)
+        for (nrm, n_d, q1, q1a, q2, q2a, ob) in tri:
+            denom = _dot3(nrm, rd)
+            t = (n_d - _dot3(nrm, ro)) / denom
+            u = _dot3(q1, ro) + t * _dot3(q1, rd) - q1a
+            v_ = _dot3(q2, ro) + t * _dot3(q2, rd) - q2a
+            ok = (
+                (jnp.abs(denom) >= tri_parallel)
+                & (u >= 0.0) & (u <= 1.0) & (v_ >= 0.0) & (u + v_ <= 1.0)
+                & (t > tri_tmin)
+            )
+            t = jnp.where(ok, t, INF)
+            take = t < t_best
+            t_best = jnp.where(take, t, t_best)
+            v3 = _where3(take, nrm, v3)  # unit normal (tri_precompute)
+            is_sph = is_sph & ~take
+            obj = jnp.where(take, ob, obj)
         valid = t_best < INF
         pos = _add3(ro, _scale3(rd, t_best))
         n_sph = _normalize3(_sub3(pos, v3), eps=1e-20)
@@ -259,6 +292,16 @@ def _mega_kernel(
             d_n = _dot3(nrm, rd)
             t = (_dot3(nrm, c) - _dot3(nrm, ro)) / d_n
             occ = occ | ((jnp.abs(d_n) >= plane_parallel) & (t >= 0.0) & (t < bound))
+        for (nrm, n_d, q1, q1a, q2, q2a, _ob) in tri:
+            denom = _dot3(nrm, rd)
+            t = (n_d - _dot3(nrm, ro)) / denom
+            u = _dot3(q1, ro) + t * _dot3(q1, rd) - q1a
+            v_ = _dot3(q2, ro) + t * _dot3(q2, rd) - q2a
+            occ = occ | (
+                (jnp.abs(denom) >= tri_parallel)
+                & (u >= 0.0) & (u <= 1.0) & (v_ >= 0.0) & (u + v_ <= 1.0)
+                & (t > tri_tmin) & (t < bound)
+            )
         return occ
 
     # Loop-carry constraints on this toolchain (jax 0.8.x-era Mosaic,
@@ -434,7 +477,7 @@ def _mega_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_spheres", "n_planes", "n_objects", "width", "height", "rows",
+        "n_spheres", "n_planes", "n_tris", "n_objects", "width", "height", "rows",
         "hw_rng", "cfg_tuple", "grid", "interpret",
     ),
 )
@@ -443,6 +486,7 @@ def _mega_raw(
     pi: Array,
     n_spheres: int,
     n_planes: int,
+    n_tris: int,
     n_objects: int,
     width: int,
     height: int,
@@ -456,6 +500,7 @@ def _mega_raw(
         _mega_kernel,
         n_spheres=n_spheres,
         n_planes=n_planes,
+        n_tris=n_tris,
         n_objects=n_objects,
         width=width,
         height=height,
@@ -486,13 +531,24 @@ def _mega_raw(
     )(pf, pi)
 
 
+# Triangle-count cap for the register-resident subset: every triangle adds
+# ~60 statically-unrolled vector ops to the bounce body (trace + occlusion
+# arms), so the cap bounds kernel code size; cubes' 24 prism tris are the
+# target workload (reference scenes/cubes.toml).  BVH meshes stay on the
+# streaming engine — per-lane divergent traversal has no efficient
+# register-resident form (the coherence-sorted packet kernel wins there,
+# BENCHMARKS.md round-5 deferred-shadow adjudication).
+MEGA_MAX_TRIS = 32
+
+
 def supports_megakernel(scene: SceneArrays, cfg: RenderConfig) -> bool:
     """The megakernel covers the register-resident estimator subset:
-    sphere/plane geometry, diffuse/specular materials, sphere light, NEE
-    (no MIS).  Everything else uses the XLA streaming engine."""
+    sphere/plane/small-triangle geometry (<= MEGA_MAX_TRIS unrolled tris,
+    no BVH), diffuse/specular materials, sphere light, NEE (no MIS).
+    Everything else uses the XLA streaming engine."""
     return (
         not scene.use_bvh
-        and scene.n_triangles == 0
+        and scene.n_triangles <= MEGA_MAX_TRIS
         and not scene.has_phong
         and scene.light_type == 0
         and not cfg.use_mis
@@ -538,6 +594,21 @@ def render_band_mega(
     for s in range(npl):
         parts += [scene.pln_pos[s], scene.pln_n[s],
                   scene.pln_obj[s][None].astype(jnp.float32)]
+    nt = int(scene.n_triangles)
+    if nt:
+        from raytracer_tpu.ops.intersect import tri_precompute
+
+        tp = tri_precompute(scene.tri_a, scene.tri_b, scene.tri_c)
+        # Invalid (padded) slots are zeroed: n_unit=0 -> denom=0 -> the
+        # parallel cutoff rejects every test, same as tri_valid masking.
+        vmask = scene.tri_valid.astype(jnp.float32)
+        for s in range(nt):
+            parts += [
+                tp.n_unit[s] * vmask[s], tp.n_d[s][None] * vmask[s],
+                tp.q1[s] * vmask[s], tp.q1_a[s][None] * vmask[s],
+                tp.q2[s] * vmask[s], tp.q2_a[s][None] * vmask[s],
+                scene.tri_obj[s][None].astype(jnp.float32),
+            ]
     is_spec = (scene.brdf_type == BRDF_SPECULAR).astype(jnp.float32)
     f_d = scene.c_d * (scene.k_d * jnp.float32(INV_PI))[:, None]
     for o in range(no):
@@ -558,9 +629,10 @@ def render_band_mega(
         float(cfg.fov_scale), int(cfg.rr_start_depth), float(cfg.rr_survival),
         int(cfg.max_depth), float(eps.sphere_tmin), float(eps.plane_parallel),
         float(eps.hit_offset), float(eps.visibility_margin),
+        float(eps.tri_tmin), float(eps.tri_parallel),
     )
     ar, ag, ab, rays = _mega_raw(
-        pf, pi, n_spheres=ns, n_planes=npl, n_objects=no,
+        pf, pi, n_spheres=ns, n_planes=npl, n_tris=nt, n_objects=no,
         width=cfg.width, height=cfg.height, rows=block_rows,
         hw_rng=not interpret, cfg_tuple=cfg_tuple, grid=grid,
         interpret=interpret,

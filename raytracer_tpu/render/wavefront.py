@@ -64,6 +64,25 @@ PARK_RD = jnp.array([1.0, 0.0, 0.0], jnp.float32)
 # are lax.sorts now, so this re-measures the trade on current toolchains.
 _PERMUTE_STATE = os.environ.get("RT_PERMUTE_STATE", "1") == "1"
 
+# Group-quantized coherence permutation: a MEASURED NEGATIVE RESULT, kept
+# env-gated OFF (RT_SORT_GROUP=1, per-lane order).  The idea: the round-4
+# microbench pinned the per-iteration state permutation as HBM-random-
+# access bound (1M independent 56-byte rows at ~17 GB/s), so sorting
+# GROUPS of G consecutive lanes — one min-key per group, one argsort of
+# N/G keys, one gather of N/G rows of G*C floats — moves the same bytes
+# in G-times-fatter contiguous rows and shrinks every sort G-fold.
+# Measured (v5e, flying_unicorn 600x450@16spp, warm): G=8 11.82 s vs
+# 3.62 s per-lane — a 3.3x LOSS.  Cause is structural, not bandwidth: the
+# per-lane sort's dominant job is not packing similar LIVE rays, it is
+# compacting DEAD lanes (parked / exhausted / pre-resolved, most of every
+# late-dispatch wavefront) into pure-miss packets that exit at the root.
+# A min-key group with one live lane drags its seven dead neighbors into
+# a live packet, so the traversal's effective wavefront never shrinks —
+# the same dead-lane-compaction effect that beat the shared-order
+# deferred-shadow design (see _DEFER_SHADOW).  The gather-bandwidth win
+# it chased is bounded by ~11 ms/iter; the kernel regression is ~3x that.
+_SORT_GROUP = int(os.environ.get("RT_SORT_GROUP", "1"))
+
 # Reversed shadow segments (BVH scenes with a sphere light): trace the NEE
 # visibility segment LIGHT -> SURFACE instead of surface -> light.
 # Occlusion of an open segment is symmetric, and the reversal buys the
@@ -351,19 +370,29 @@ def render_band_regen(
             # orders leave fresh camera rays and newly-parked lanes in the
             # wrong packets, and the kernel-time penalty dwarfs the saved
             # argsort.)
-            from raytracer_tpu.ops.bvh import _coherence_order
+            from raytracer_tpu.ops.bvh import _coherence_key, _coherence_order
 
             # ONE row gather of the whole packed state: separate per-array
             # takes measured 42ms vs ~6ms packed (TPU gathers amortize over
             # the row), and the gather's cost is ~(fixed + per-column), so
             # every column trimmed is real time.
-            order, _ = _coherence_order(scene, ro, rd, eps)
-            cols = jnp.take(
-                pack_state(active, j, slot, depth, ro, rd, beta, emis,
-                           pdf_prev, acc,
-                           (s_ro, s_rd, s_cap, pend) if deferred else None),
-                order, axis=0,
-            )
+            packed = pack_state(active, j, slot, depth, ro, rd, beta, emis,
+                                pdf_prev, acc,
+                                (s_ro, s_rd, s_cap, pend) if deferred else None)
+            G = _SORT_GROUP
+            if G > 1 and n % G == 0:
+                # Group-quantized order (see _SORT_GROUP): one key per G
+                # consecutive lanes, G-times-fatter gather rows.
+                key_lane = _coherence_key(scene, ro, rd, eps)
+                gkey = jnp.min(key_lane.reshape(n // G, G), axis=1)
+                order_g = jnp.argsort(gkey)
+                C = packed.shape[1]
+                cols = jnp.take(
+                    packed.reshape(n // G, G * C), order_g, axis=0
+                ).reshape(n, C)
+            else:
+                order, _ = _coherence_order(scene, ro, rd, eps)
+                cols = jnp.take(packed, order, axis=0)
             (active, j, slot, depth, ro, rd, beta, emis, pdf_prev,
              acc, *sh_st) = unpack_state(cols, pdf_prev)
             if deferred:

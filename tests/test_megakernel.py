@@ -33,6 +33,11 @@ def test_gating(cornell):
     assert not supports_megakernel(unicorn, cfg)
     phong = load_scene(os.path.join(SCENES, "crewmate_phong.toml"))
     assert not supports_megakernel(phong, cfg)
+    # Small-triangle scenes (cubes: 24 unrolled prism tris, no BVH) are in
+    # the register-resident subset since round 5.
+    cubes = load_scene(os.path.join(SCENES, "cubes.toml"))
+    assert cubes.n_triangles == 24 and not cubes.use_bvh
+    assert supports_megakernel(cubes, cfg)
 
 
 def test_mega_matches_regen_statistically(cornell):
@@ -58,6 +63,31 @@ def test_mega_matches_regen_statistically(cornell):
         m.mean(axis=(0, 1, 2)), r.mean(axis=(0, 1, 2)), rtol=0.08
     )
     # same estimator => same expected ray count per sample
+    assert abs(int(rays_m) - int(rays_r)) / int(rays_r) < 0.05
+
+
+def test_mega_cubes_matches_regen_statistically():
+    """Triangle arm of the megakernel (cubes: 24 unrolled prism tris +
+    planes + sphere light) agrees with the streaming engine within MC
+    noise — same estimator, independent RNG streams."""
+    cubes = load_scene(os.path.join(SCENES, "cubes.toml"))
+    cfg = RenderConfig(width=60, height=45)
+    pre = scene_precompute(cubes)
+    rows, ns = 5, 32
+    sums_m, rays_m = render_band_mega(
+        cubes, pre, cfg, jnp.int32(20), rows, jnp.int32(ns),
+        jax.random.key(0), interpret=True,
+    )
+    sums_r, rays_r = render_band_regen(
+        cubes, pre, cfg, jnp.int32(20), rows, jnp.int32(ns), jax.random.key(1)
+    )
+    m = np.asarray(sums_m) / ns
+    r = np.asarray(sums_r) / ns
+    assert m.shape == (rows, 60, 4, 3)
+    assert abs(m.mean() - r.mean()) / r.mean() < 0.05
+    np.testing.assert_allclose(
+        m.mean(axis=(0, 1, 2)), r.mean(axis=(0, 1, 2)), rtol=0.08
+    )
     assert abs(int(rays_m) - int(rays_r)) / int(rays_r) < 0.05
 
 
